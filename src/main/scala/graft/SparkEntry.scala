@@ -1,13 +1,460 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.sql.Date
+import java.time.LocalDate
+
+import graft.crawl.CrawlJob
+import graft.model.PolitenessConfig
+import graft.plan.Frontier
+import graft.synth.Synth
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` covers SURVEY.md §2's operator inventory: each entry is one
+  * operator (or tight operator cluster) expressed Spark-first, with a
+  * DuckDB-equivalent oracle in `oracleSql` wherever the semantics are
+  * SQL-expressible. Non-SQL-expressible ops (URL seen Bloom dedup rounds,
+  * the politeness scheduler, MinHash/SimHash) are covered by ScalaTest
+  * specs and appear here as rows-only entries.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // ------------------------------------------------------------ fixtures
+  // Shared golden fixtures used by both the Spark queries and the DuckDB
+  // oracles (FIXTURES.md §1-2; reference tests/test_db_client.py:12-30).
+
+  private val TestDate = LocalDate.of(1995, 9, 10)
+
+  private val RatesFixture: Seq[(String, String, String, Int, Double)] = Seq(
+    ("GBP", "USD", "1995-09-03", 1, 1.0), ("GBP", "USD", "1995-09-04", 1, 2.0),
+    ("GBP", "USD", "1995-09-05", 1, 3.0), ("GBP", "USD", "1995-09-06", 1, 4.0),
+    ("GBP", "USD", "1995-09-07", 2, 5.0), ("GBP", "USD", "1995-09-08", 2, 6.0),
+    ("GBP", "USD", "1995-09-09", 2, 7.0), ("GBP", "USD", "1995-09-10", 1, 0.654654),
+    ("USD", "GBP", "1995-09-03", 1, 7.0), ("USD", "GBP", "1995-09-04", 1, 6.0),
+    ("USD", "GBP", "1995-09-05", 1, 5.0), ("USD", "GBP", "1995-09-06", 1, 4.0),
+    ("USD", "GBP", "1995-09-07", 2, 3.0), ("USD", "GBP", "1995-09-08", 2, 2.0),
+    ("USD", "GBP", "1995-09-09", 2, 1.0))
+
+  private val ratesFixtureSql: String = RatesFixture
+    .map { case (c, tr, d, p, r) => s"('$c','$tr',DATE '$d',$p,$r)" }.mkString(",")
+
+  /** The golden 7 missing combos in seed (seq) order. */
+  private val GoldenMissing: Seq[(String, String, String)] = Seq(
+    ("GBP", "USD", "1995-09-07"), ("GBP", "USD", "1995-09-08"), ("GBP", "USD", "1995-09-09"),
+    ("USD", "GBP", "1995-09-10"), ("USD", "GBP", "1995-09-07"), ("USD", "GBP", "1995-09-08"),
+    ("USD", "GBP", "1995-09-09"))
+
+  private def ratesFixtureDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    RatesFixture.map { case (c, tr, d, p, r) => (c, tr, Date.valueOf(d), p, r) }
+      .toDF("card_code", "trans_code", "date", "provider_id", "rate")
+  }
+
+  private def providersDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq((1, "Mastercard"), (2, "Visa")).toDF("id", "name")
+  }
+
+  private def goldenMissingDf(s: SparkSession): DataFrame = {
+    val currs = Frontier.currencyDim(s, Seq("GBP", "USD"))
+    val cands = Frontier.candidates(currs, TestDate, 8)
+    Frontier.missing(cands, ratesFixtureDf(s), providersDf(s), "Mastercard", TestDate, 8, Seq("GBP", "USD"))
+  }
+
+  // ------------------------------------------------------------ flagship
+
+  /** Flagship: the minimum end-to-end slice (SURVEY.md §7.3) — plan the
+    * missing frontier for both providers, expand to byte-exact URLs,
+    * dedup + robots-gate + politeness-schedule in rounds, fetch-join the
+    * deterministic synthetic page table, extract rates, append with
+    * uniqueness, checkpointing every round. Returns the final rates table.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val currsList = Seq("GBP", "USD", "EUR")
+    val currs = Frontier.currencyDim(spark, currsList)
+    val cands = Frontier.candidates(currs, TestDate, 5)
+    val seeds = Frontier.missing(
+      cands, ratesFixtureDf(spark), providersDf(spark), "Mastercard", TestDate, 5, currsList)
+    val frontier = CrawlJob.expandSeeds(seeds, "Mastercard")
+      .unionAll(CrawlJob.expandSeeds(seeds.withColumn("seq", col("seq") + 1000000L), "Visa"))
+    val pages = Synth.pages(seeds)
+    val robots = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL("host STRING, pathPrefix STRING, allow BOOLEAN"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-entry").toString
+    val (rates, _, _) = CrawlJob.run(
+      spark, frontier, pages, robots, ckpt,
+      PolitenessConfig(), roundSec = 10.0, maxRounds = 50)
+    rates
+  }
+
+  // ------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- general relational operators over the TPC-H-ish tables --------
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q02_top_customers" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(10)
+    }),
+
+    "q03_brand_part_agg" -> ((s, dir) => {
+      // small dim explicitly broadcast: no shuffle of the fact side
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").filter(col("p_brand") === "Brand#12")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("p_type")
+    }),
+
+    "q04_customers_with_orders" -> ((s, dir) => {
+      // left-semi join (the reference's insert-if-absent dual, client.py:173-181)
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
+    "q05_top_orders_per_customer" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), round(col("o_totalprice"), 2).as("price"), col("rn"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    "q06_running_value" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("running_value", round(sum("value").over(w), 4))
+        .select("event_id", "user_id", "running_value")
+        .orderBy("user_id", "event_id")
+    }),
+
+    "q07_rollup_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_extendedprice"), 2).as("revenue"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    "q08_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // 30-min-gap sessionization: the batch dual of the streaming
+      // mapGroupsWithState session operator (SURVEY.md §1.4 streaming note)
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val events = t(s, dir, "events")
+        .withColumn("prev_ts", lag("ts", 1).over(byUser))
+        .withColumn("gap",
+          when(col("prev_ts").isNull, 1)
+            .when(unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum("gap").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      events.groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("session_value"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    "q09_hourly_events" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
+        .orderBy("hour", "event_type")
+    }),
+
+    // ---- crawl-planner operators (golden fixtures both sides) ----------
+    "q10_missing_antijoin" -> ((s, _) => {
+      goldenMissingDf(s)
+        .select(col("card_c"), col("trans_c"), col("date"))
+        .orderBy("card_c", "trans_c", "date")
+    }),
+
+    "q11_url_mc" -> ((s, _) => {
+      goldenMissingDf(s)
+        .transform(df => CrawlJob.expandSeeds(df, "Mastercard"))
+        .select("card_c", "trans_c", "date", "url")
+        .orderBy("card_c", "trans_c", "date")
+    }),
+
+    "q12_url_visa" -> ((s, _) => {
+      goldenMissingDf(s)
+        .transform(df => CrawlJob.expandSeeds(df, "Visa"))
+        .select("card_c", "trans_c", "date", "url")
+        .orderBy("card_c", "trans_c", "date")
+    }),
+
+    "q13_shard_roundrobin" -> ((s, _) => {
+      Frontier.withShard(goldenMissingDf(s), 3, partitions = 4)
+        .select("card_c", "trans_c", "date", "shard")
+        .orderBy("card_c", "trans_c", "date")
+    }),
+
+    "q14_frontier_csv_dialect" -> ((s, _) => {
+      // the frontier shard row format: headerless dd/MM/yyyy (settings.py:110)
+      goldenMissingDf(s)
+        .select(
+          col("card_c"), col("trans_c"),
+          date_format(col("date"), "dd/MM/yyyy").as("std_date"))
+        .orderBy("card_c", "trans_c", "std_date")
+    }),
+
+    // ---- scalar/date functions ----------------------------------------
+    "q15_date_cutoff" -> ((s, _) => {
+      import s.implicits._
+      import graft.functions.DateFns
+      // US/Eastern 2pm cutoff (client.py:55-65): timestamps straddling both
+      // the hour boundary and a UTC day boundary
+      val ts = Seq(
+        "1995-09-10 17:59:00", // 13:59 ET → previous day
+        "1995-09-10 18:00:00", // 14:00 ET → same day
+        "1995-09-10 03:00:00", // 23:00 ET prev day (EDT) → that same prev day
+        "1995-09-11 02:00:00") // 22:00 ET on the 10th → the 10th
+        .toDF("ts_text")
+        .select(col("ts_text"), to_timestamp(col("ts_text")).as("ts"))
+      ts.select(col("ts_text"), DateFns.currentCrawlDateCol(col("ts")).as("crawl_date"))
+        .orderBy("ts_text")
+    }),
+
+    // ---- training-data ops over the documents/embeddings tables --------
+    "q16_doc_exact_dedup" -> ((s, dir) => {
+      // exact dedup: content-hash group, keep lowest doc_id (SURVEY §2#22 dual)
+      t(s, dir, "documents")
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keep_doc_id")
+    }),
+
+    "q17_doc_token_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+          col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    "q18_doc_quality" -> ((s, dir) => {
+      // quality scoring: mean word length + whitespace ratio (heuristics a
+      // pretraining pipeline filters on)
+      val toks = size(split(trim(col("text")), "\\s+"))
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          round(length(regexp_replace(col("text"), "\\s", "")).cast("double") / toks, 4).as("mean_word_len"),
+          round((length(col("text")) - length(regexp_replace(col("text"), " ", ""))).cast("double")
+            / length(col("text")), 4).as("space_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    "q19_embedding_norms" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(
+          col("vec_id"),
+          round(sqrt(aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x.cast("double") * x.cast("double"))), 4).as("l2_norm"),
+          col("label"))
+        .orderBy("vec_id")
+    }),
+
+    "q20_lang_distribution" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), round(avg("n_chars"), 4).as("avg_chars"))
+        .orderBy("lang")
+    }))
+
+  // ----------------------------------------------------------- oracles
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         round(avg(l_quantity), 4) AS avg_qty,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+
+    "q02_top_customers" ->
+      """SELECT c_custkey, c_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_custkey, c_name ORDER BY revenue DESC, c_custkey LIMIT 10""",
+
+    "q03_brand_part_agg" ->
+      """SELECT p_brand, p_type,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_brand = 'Brand#12' GROUP BY p_brand, p_type ORDER BY p_type""",
+
+    "q04_customers_with_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+         ORDER BY c_custkey""",
+
+    "q05_top_orders_per_customer" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""",
+
+    "q06_running_value" ->
+      """SELECT event_id, user_id,
+         round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+           AS running_value
+         FROM events ORDER BY user_id, event_id""",
+
+    "q07_rollup_revenue" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_extendedprice), 2) AS revenue, count(*) AS n
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "q08_sessionize" ->
+      """WITH flagged AS (
+           SELECT user_id, value,
+                  CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                       WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1
+                       ELSE 0 END AS gap,
+                  ts, event_id
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sessions AS (
+           SELECT user_id, value,
+                  CAST(sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_id
+           FROM flagged)
+         SELECT user_id, session_id, count(*) AS n_events,
+                round(sum(value), 4) AS session_value
+         FROM sessions GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+
+    "q09_hourly_events" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+         count(*) AS n, round(sum(value), 4) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+
+    "q10_missing_antijoin" -> s"""
+         WITH currs(c) AS (VALUES ('GBP'), ('USD')),
+         rates(card_code, trans_code, "date", provider_id, rate) AS (VALUES $ratesFixtureSql),
+         dates AS (SELECT (DATE '1995-09-10' - CAST(x AS INTEGER)) AS d FROM range(8) t(x)),
+         cands AS (SELECT a.c AS card_c, b.c AS trans_c, d.d AS "date"
+                   FROM currs a CROSS JOIN currs b CROSS JOIN dates d WHERE a.c <> b.c)
+         SELECT card_c, trans_c, "date" FROM cands
+         WHERE NOT EXISTS (SELECT 1 FROM rates r
+                           WHERE r.provider_id = 1 AND r.card_code = cands.card_c
+                             AND r.trans_code = cands.trans_c AND r."date" = cands."date")
+         ORDER BY card_c, trans_c, "date"""",
+
+    "q11_url_mc" -> goldenUrlOracle(mc = true),
+    "q12_url_visa" -> goldenUrlOracle(mc = false),
+
+    "q13_shard_roundrobin" -> s"""
+         WITH m(card_c, trans_c, "date", seq) AS (VALUES ${goldenMissingWithSeqSql()})
+         SELECT card_c, trans_c, "date",
+                CAST((row_number() OVER (ORDER BY seq) - 1) % 3 AS INTEGER) AS shard
+         FROM m ORDER BY card_c, trans_c, "date"""",
+
+    "q14_frontier_csv_dialect" -> s"""
+         WITH m(card_c, trans_c, "date", seq) AS (VALUES ${goldenMissingWithSeqSql()})
+         SELECT card_c, trans_c, strftime("date", '%d/%m/%Y') AS std_date
+         FROM m ORDER BY card_c, trans_c, std_date""",
+
+    "q15_date_cutoff" ->
+      // oracle uses the fixed EDT offset (UTC-4) valid for all fixture
+      // instants (Sept 1995), avoiding DuckDB's ICU-extension dependency;
+      // the Spark side uses the real America/New_York zone rules
+      """WITH ts(ts_text) AS (VALUES ('1995-09-10 17:59:00'), ('1995-09-10 18:00:00'),
+                                     ('1995-09-10 03:00:00'), ('1995-09-11 02:00:00')),
+         et AS (SELECT ts_text, CAST(ts_text AS TIMESTAMP) - INTERVAL 4 HOUR AS et_ts FROM ts)
+         SELECT ts_text,
+           CASE WHEN hour(et_ts) < 14 THEN CAST(et_ts AS DATE) - 1
+                ELSE CAST(et_ts AS DATE) END AS crawl_date
+         FROM et ORDER BY ts_text""",
+
+    "q16_doc_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+         FROM documents GROUP BY md5(text) ORDER BY keep_doc_id""",
+
+    "q17_doc_token_stats" ->
+      """SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens, n_chars
+         FROM documents ORDER BY doc_id""",
+
+    "q18_doc_quality" ->
+      """SELECT doc_id,
+         round(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+               / len(regexp_split_to_array(trim(text), '\s+')), 4) AS mean_word_len,
+         round(CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
+               / length(text), 4) AS space_ratio
+         FROM documents ORDER BY doc_id""",
+
+    "q19_embedding_norms" ->
+      """SELECT vec_id,
+         round(sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
+         label
+         FROM embeddings ORDER BY vec_id""",
+
+    "q20_lang_distribution" ->
+      """SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+         FROM documents GROUP BY lang ORDER BY lang""")
+
+  /** Golden URL VALUES oracles: expected strings produced by the byte-exact
+    * pure builders (unit-tested against the reference's Python output).
+    */
+  private def goldenUrlOracle(mc: Boolean): String = {
+    import graft.urls.Urls
+    val rows = GoldenMissing.sortBy(x => (x._1, x._2, x._3)).map { case (c, tr, d) =>
+      val ld = LocalDate.parse(d)
+      val u = if (mc) Urls.mcUrl(c, tr, ld) else Urls.visaUrl(c, tr, ld)
+      s"('$c', '$tr', DATE '$d', '$u')"
+    }
+    s"""SELECT card_c, trans_c, "date", url FROM (VALUES ${rows.mkString(", ")})
+        t(card_c, trans_c, "date", url) ORDER BY card_c, trans_c, "date""""
+  }
+
+  /** The golden missing rows with their reference seq values as SQL VALUES. */
+  private def goldenMissingWithSeqSql(): String = {
+    // seq = pair_idx * numDays + date_idx with currs order (GBP, USD),
+    // numDays = 8, dates descending from 1995-09-10
+    GoldenMissing.map { case (c, tr, d) =>
+      val pairIdx = if (c == "GBP") 0 else 1
+      val dateIdx = java.time.temporal.ChronoUnit.DAYS.between(LocalDate.parse(d), TestDate).toInt
+      val seq = pairIdx * 8 + dateIdx
+      s"('$c', '$tr', DATE '$d', $seq)"
+    }.mkString(", ")
+  }
 }

@@ -1,0 +1,152 @@
+package graft.plan
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import java.time.LocalDate
+
+/** Frontier planning: seed expansion + "missing combos" anti-join + shard
+  * sink (SURVEY.md §2 #9, #14-16, #20-21; reference src/db/client.py:92-150).
+  *
+  * The reference materializes the already-crawled set in driver memory and
+  * probes it from a Python generator (client.py:114-123) — i.e. a broadcast
+  * hash anti-join. Here the whole plan is declarative: crossJoin → filter →
+  * left_anti, so Catalyst picks broadcast vs shuffled anti-join from stats
+  * and AQE can re-plan at runtime; nothing is collected to the driver.
+  */
+object Frontier {
+
+  /** The candidate combo grid `currs × currs × dates(desc)` with `x != y`
+    * (client.py:106-111), carrying an explicit `seq` column that equals the
+    * reference's `itertools.product` emission index (rightmost-fastest:
+    * for each ordered (card, trans) pair, all dates descending from `end`).
+    *
+    * Ordering is data, not shuffle order — `seq` survives any repartition.
+    * `currs` arrives as a DataFrame of (curr STRING, idx LONG) with idx the
+    * iteration order; the pair index is computed distributedly so the grid
+    * never touches the driver (10^10-scale safe).
+    */
+  def candidates(currs: DataFrame, end: LocalDate, numDays: Int): DataFrame = {
+    val n = currs.count() // tiny dim table; one cheap job for the pair-index arithmetic
+    val a = currs.select(col("curr").as("card_c"), col("idx").as("ia"))
+    val b = currs.select(col("curr").as("trans_c"), col("idx").as("ib"))
+    // product(currs, currs) minus the diagonal, with the *filtered* pair
+    // position: pairs removed before (ia, ib) = ia (+1 if ib > ia).
+    val pairs = a.crossJoin(b)
+      .filter(col("card_c") =!= col("trans_c"))
+      .withColumn(
+        "pair_idx",
+        col("ia") * n + col("ib") - col("ia") - when(col("ib") > col("ia"), 1).otherwise(0))
+    val dates = explode(sequence(lit(0), lit(numDays - 1))).as("date_idx")
+    pairs
+      .select(col("card_c"), col("trans_c"), col("pair_idx"), dates)
+      .withColumn("date", date_sub(lit(java.sql.Date.valueOf(end)), col("date_idx")))
+      .withColumn("seq", col("pair_idx") * numDays + col("date_idx"))
+      .select("card_c", "trans_c", "date", "seq")
+  }
+
+  /** Helper: a currency list (driver-side, tiny) → indexed dim DataFrame. */
+  def currencyDim(spark: SparkSession, currs: Seq[String]): DataFrame = {
+    import spark.implicits._
+    currs.zipWithIndex.map { case (c, i) => (c, i.toLong) }.toDF("curr", "idx")
+  }
+
+  /** The `missing` planner (client.py:92-123): candidate grid anti-joined
+    * against rates already stored for this provider in the window.
+    *
+    * All predicates (provider equality, date range, currency membership) are
+    * applied on the build side *before* the join so they push down to the
+    * rates scan (parquet row-group pruning); the provider name→id lookup is
+    * a broadcast join against the 2-row providers dim rather than the
+    * reference's correlated subquery (pipelines.py:17-21).
+    */
+  def missing(
+      candidates: DataFrame,
+      rates: DataFrame,
+      providers: DataFrame,
+      provider: String,
+      end: LocalDate,
+      numDays: Int,
+      currs: Seq[String]): DataFrame = {
+    val start = end.minusDays(numDays - 1L)
+    val existing = rates
+      .join(broadcast(providers.filter(col("name") === provider)), rates("provider_id") === providers("id"))
+      .filter(
+        col("date") <= lit(java.sql.Date.valueOf(end)) &&
+        col("date") >= lit(java.sql.Date.valueOf(start)) &&
+        col("card_code").isin(currs: _*) &&
+        col("trans_code").isin(currs: _*))
+      .select(
+        col("card_code").as("card_c"),
+        col("trans_code").as("trans_c"),
+        col("date"))
+    candidates.join(existing, Seq("card_c", "trans_c", "date"), "left_anti")
+  }
+
+  /** Exact, scalable global rank 0..n-1 by `orderCol` (no single-partition
+    * window): range-repartition on the order column, count rows per
+    * partition, broadcast the cumulative offsets, then rank = per-partition
+    * row_number + offset. Every stage is parallel.
+    */
+  def withGlobalRank(df: DataFrame, orderCol: String, rankCol: String, partitions: Int): DataFrame = {
+    val ranged = df
+      .repartitionByRange(partitions, col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+    ranged.cache()
+    val counts = ranged.groupBy("__pid").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets: Map[Int, Long] = counts
+      .scanLeft((0, 0L)) { case ((_, acc), (pid, c)) => (pid, acc + c) }
+      .sliding(2).collect { case Array((_, off), (pid, _)) => pid -> off }.toMap
+    val offsetExpr = counts.map(_._1).foldLeft(lit(0L)) { (acc, pid) =>
+      when(col("__pid") === pid, lit(offsets.getOrElse(pid, 0L))).otherwise(acc)
+    }
+    val w = Window.partitionBy("__pid").orderBy(orderCol)
+    ranged
+      .withColumn(rankCol, row_number().over(w).cast("long") - 1 + offsetExpr)
+      .drop("__pid")
+  }
+
+  /** Round-robin shard assignment with exact reference parity
+    * (client.py:144-146: output row i goes to shard `i % fileCount`, where
+    * i is the position in the *missing result* stream in seed order).
+    */
+  def withShard(missing: DataFrame, fileCount: Int, partitions: Int = 32): DataFrame =
+    withGlobalRank(missing, "seq", "__rank", partitions)
+      .withColumn("shard", pmod(col("__rank"), lit(fileCount.toLong)).cast("int"))
+      .drop("__rank")
+
+  /** Write the frontier shards as headerless CSVs, date formatted
+    * `dd/MM/yyyy` (settings.py:110) — the reference's crawl-input dialect.
+    */
+  def writeShards(missing: DataFrame, fileCount: Int, outPath: String): Unit =
+    withShard(missing, fileCount)
+      .orderBy("shard", "seq")
+      .select(
+        col("shard"),
+        col("card_c"),
+        col("trans_c"),
+        date_format(col("date"), "dd/MM/yyyy").as("date"))
+      .write
+      .mode("overwrite")
+      .partitionBy("shard")
+      .option("header", "false")
+      .csv(outPath)
+
+  /** Bulk rates ingest (client.py:152-171): header CSV, dates `MM/dd/yyyy`
+    * — deliberately a *different* dialect from the frontier shards
+    * (SURVEY.md §2#2).
+    */
+  def ratesFromCsv(spark: SparkSession, inPath: String, providerId: Int): DataFrame =
+    spark.read
+      .option("header", "true")
+      .schema("card_code STRING, trans_code STRING, date STRING, rate DOUBLE")
+      .csv(inPath)
+      .select(
+        col("card_code"),
+        col("trans_code"),
+        to_date(col("date"), "MM/dd/yyyy").as("date"),
+        lit(providerId).as("provider_id"),
+        col("rate"))
+}

@@ -1,0 +1,85 @@
+package graft.politeness
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.RobotsRule
+
+/** Robots.txt gate (SURVEY.md §2 #25; reference `ROBOTSTXT_OBEY = True`,
+  * settings.py:22).
+  *
+  * Rules live in a small side table `(host, pathPrefix, allow)` that is
+  * broadcast-joined against the frontier (north_rule: "robots.txt rules as
+  * a broadcast side table"). Standard robots-exclusion semantics:
+  * longest-matching prefix wins; no matching rule ⇒ allowed; a host with no
+  * rules at all ⇒ allowed.
+  */
+object Robots {
+
+  /** Parse one robots.txt body (User-agent: * section only — the reference
+    * crawls with Scrapy's default UA matching `*`) into rules.
+    */
+  def parse(host: String, body: String): Seq[RobotsRule] = {
+    var inStar = false
+    val rules = Seq.newBuilder[RobotsRule]
+    body.linesIterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
+      val lower = line.toLowerCase
+      if (lower.startsWith("user-agent:")) {
+        inStar = line.substring(11).trim == "*"
+      } else if (inStar && lower.startsWith("disallow:")) {
+        val p = line.substring(9).trim
+        if (p.nonEmpty) rules += RobotsRule(host, p, allow = false)
+      } else if (inStar && lower.startsWith("allow:")) {
+        val p = line.substring(6).trim
+        if (p.nonEmpty) rules += RobotsRule(host, p, allow = true)
+      }
+    }
+    rules.result()
+  }
+
+  /** Path component of a URL (no query/fragment), "/" if empty. */
+  def pathCol(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val afterScheme = regexp_replace(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    val path = regexp_extract(afterScheme, "^[^/?#]*(/[^?#]*)?", 1)
+    when(path === "", "/").otherwise(path)
+  }
+
+  /** Keep frontier rows whose (host, path) is allowed.
+    *
+    * The rules are first collapsed to ONE row per host carrying an
+    * `array<struct<p,a>>`, so the broadcast join is 1:1 — the frontier is
+    * never multiplied and never shuffled. Longest-matching-prefix is then a
+    * scalar `aggregate` over that (small) array, fully codegen-friendly.
+    */
+  def allowed(frontier: DataFrame, rules: DataFrame): DataFrame = {
+    val perHost = rules
+      .groupBy(col("host").as("__rhost"))
+      .agg(collect_list(struct(col("pathPrefix").as("p"), col("allow").as("a"))).as("__rules"))
+    val withPath = frontier.withColumn("__path", pathCol(col("url")))
+    val joined = withPath.join(broadcast(perHost), col("host") === col("__rhost"), "left")
+    // verdict: among rules whose prefix matches the path, take the longest;
+    // no rules for the host / no matching rule ⇒ allowed
+    val matching = filter(col("__rules"), r => startswith(col("__path"), r.getField("p")))
+    val verdict = aggregate(
+      matching,
+      struct(lit(-1).as("len"), lit(true).as("a")),
+      (acc, r) =>
+        when(length(r.getField("p")) > acc.getField("len"),
+          struct(length(r.getField("p")).as("len"), r.getField("a").as("a")))
+          .otherwise(acc)).getField("a")
+    joined
+      .withColumn("__verdict", when(col("__rules").isNull, lit(true)).otherwise(verdict))
+      .filter(col("__verdict"))
+      .drop("__rhost", "__rules", "__path", "__verdict")
+  }
+
+  /** Offsite filter (SURVEY.md §2 #28): drop URLs whose host is not the
+    * allowed domain or a subdomain of it (Scrapy OffsiteMiddleware).
+    */
+  def onSite(frontier: DataFrame, allowedDomains: Seq[String]): DataFrame = {
+    val cond = allowedDomains
+      .map(d => col("host") === d || endswith(col("host"), lit("." + d)))
+      .reduce(_ || _)
+    frontier.filter(cond)
+  }
+}

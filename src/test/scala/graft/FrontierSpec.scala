@@ -1,0 +1,87 @@
+package graft
+
+import java.sql.Date
+import java.time.LocalDate
+
+import graft.plan.Frontier
+
+/** Parity port of the reference's golden test
+  * (tests/test_db_client.py:85-108): inserting TEST_ROWS and planning
+  * `missing("Mastercard", end=1995-09-10, num_days=8, currs={GBP,USD})`
+  * must yield exactly 7 combos. Plus seed-ordering and shard-parity tests
+  * (client.py:106-111,144-146).
+  */
+class FrontierSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val testDate = LocalDate.of(1995, 9, 10)
+
+  /** The reference TEST_ROWS fixture (tests/test_db_client.py:12-30). */
+  private def ratesFixture = Seq(
+    ("GBP", "USD", "1995-09-03", 1, 1.0), ("GBP", "USD", "1995-09-04", 1, 2.0),
+    ("GBP", "USD", "1995-09-05", 1, 3.0), ("GBP", "USD", "1995-09-06", 1, 4.0),
+    ("GBP", "USD", "1995-09-07", 2, 5.0), ("GBP", "USD", "1995-09-08", 2, 6.0),
+    ("GBP", "USD", "1995-09-09", 2, 7.0), ("GBP", "USD", "1995-09-10", 1, 0.654654),
+    ("USD", "GBP", "1995-09-03", 1, 7.0), ("USD", "GBP", "1995-09-04", 1, 6.0),
+    ("USD", "GBP", "1995-09-05", 1, 5.0), ("USD", "GBP", "1995-09-06", 1, 4.0),
+    ("USD", "GBP", "1995-09-07", 2, 3.0), ("USD", "GBP", "1995-09-08", 2, 2.0),
+    ("USD", "GBP", "1995-09-09", 2, 1.0))
+    .map { case (c, t, d, p, r) => (c, t, Date.valueOf(d), p, r) }
+    .toDF("card_code", "trans_code", "date", "provider_id", "rate")
+
+  private def providers = Seq((1, "Mastercard"), (2, "Visa")).toDF("id", "name")
+
+  test("golden missing anti-join: exactly the reference's 7 tuples") {
+    val currs = Frontier.currencyDim(spark, Seq("GBP", "USD"))
+    val cands = Frontier.candidates(currs, testDate, 8)
+    val out = Frontier.missing(cands, ratesFixture, providers, "Mastercard", testDate, 8, Seq("GBP", "USD"))
+      .select("card_c", "trans_c", "date")
+      .as[(String, String, Date)].collect().map { case (c, t, d) => (c, t, d.toString) }.toSet
+    val expected = Set(
+      ("GBP", "USD", "1995-09-07"), ("GBP", "USD", "1995-09-08"), ("GBP", "USD", "1995-09-09"),
+      ("USD", "GBP", "1995-09-10"), ("USD", "GBP", "1995-09-07"), ("USD", "GBP", "1995-09-08"),
+      ("USD", "GBP", "1995-09-09"))
+    assert(out === expected)
+  }
+
+  test("candidates reproduce itertools.product order: pairs outer, dates descending") {
+    val currs = Frontier.currencyDim(spark, Seq("GBP", "USD", "EUR"))
+    val cands = Frontier.candidates(currs, testDate, 3)
+      .orderBy("seq")
+      .select("card_c", "trans_c", "date")
+      .as[(String, String, Date)].collect().map { case (c, t, d) => (c, t, d.toString) }
+    // reference order: for x in currs, for y in currs (x!=y), dates desc from end
+    val dates = Seq("1995-09-10", "1995-09-09", "1995-09-08")
+    val currsSeq = Seq("GBP", "USD", "EUR")
+    val expected = for {
+      x <- currsSeq; y <- currsSeq if x != y; d <- dates
+    } yield (x, y, d)
+    assert(cands.toSeq === expected)
+    // seq values are dense 0..n-1
+    val seqs = Frontier.candidates(currs, testDate, 3).select("seq").as[Long].collect().sorted
+    assert(seqs.toSeq === (0L until 18L))
+  }
+
+  test("round-robin shard assignment matches i % file_count over seed order") {
+    val currs = Frontier.currencyDim(spark, Seq("GBP", "USD"))
+    val cands = Frontier.candidates(currs, testDate, 8)
+    val missing = Frontier.missing(cands, ratesFixture, providers, "Mastercard", testDate, 8, Seq("GBP", "USD"))
+    val sharded = Frontier.withShard(missing, 3, partitions = 4)
+      .orderBy("seq").select("card_c", "trans_c", "shard")
+      .as[(String, String, Int)].collect()
+    // 7 missing rows in seed order → shards 0,1,2,0,1,2,0
+    assert(sharded.map(_._3).toSeq === Seq(0, 1, 2, 0, 1, 2, 0))
+  }
+
+  test("rates_from_csv dialect: header row + MM/dd/yyyy dates") {
+    val dir = java.nio.file.Files.createTempDirectory("ratescsv").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/r.csv"),
+      "card_code,trans_code,date,rate\nGBP,USD,09/07/1995,1.5\nUSD,GBP,12/31/1995,2.5\n")
+    val out = Frontier.ratesFromCsv(spark, dir, providerId = 1)
+      .as[(String, String, Date, Int, Double)].collect().toSet
+    assert(out === Set(
+      ("GBP", "USD", Date.valueOf("1995-09-07"), 1, 1.5),
+      ("USD", "GBP", Date.valueOf("1995-12-31"), 1, 2.5)))
+  }
+}
