@@ -1,24 +1,52 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Per-round bench main (driver contract): times every SparkEntry query on
+  * SPARK_GRAFT_SF_DIR plus one crawl-throughput run, prints ONE JSON line.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // crawl throughput: 120k-URL synthetic frontier, full rounds (the
+    // BASELINE.json headline metric; ScalingBench measures N vs 4N)
+    val (crawlUrls, crawlSec) = {
+      val nUrls = sys.env.getOrElse("SPARK_GRAFT_BENCH_CRAWL_URLS", "120000").toLong
+      val frontier = synth.BenchWorkload.frontier(spark, nUrls, 512, 100)
+      val pages = synth.BenchWorkload.pages(frontier)
+      val robots = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL("host STRING, pathPrefix STRING, allow BOOLEAN"))
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-bench").toString
+      val t0 = System.nanoTime()
+      val (_, seen, _) = graft.crawl.CrawlJob.run(
+        spark, frontier, pages, robots, ckpt,
+        model.PolitenessConfig(maxGlobal = Int.MaxValue, maxPerHost = 20000),
+        roundSec = 10000.0, maxRounds = 100)
+      val n = seen.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      (n, sec)
+    }
+    val all = results :+ (s"crawl_${crawlUrls}_urls" -> crawlSec)
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + "%.3f".format(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = all.map(_._2).sum
+    val urlsPerSec = (crawlUrls / crawlSec).round
+    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"crawl_urls_per_sec":$urlsPerSec,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

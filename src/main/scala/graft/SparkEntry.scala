@@ -292,6 +292,99 @@ object SparkEntry {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), round(avg("n_chars"), 4).as("avg_chars"))
         .orderBy("lang")
+    }),
+
+    // ---- dedup / similarity / text-analysis (training-data ops) --------
+    "q21_token_jaccard_pairs" -> ((s, dir) => {
+      // exact token-set jaccard of consecutive doc pairs (the verify stage
+      // of near-dup dedup, SQL-expressible both sides)
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), array_distinct(split(trim(col("text")), "\\s+")).as("tk"))
+      val a = toks.select(col("doc_id").as("id_a"), col("tk").as("tk_a"))
+      val b = toks.select(col("doc_id").as("id_b"), col("tk").as("tk_b"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(
+          col("id_a"), col("id_b"),
+          round(size(array_intersect(col("tk_a"), col("tk_b"))).cast("double") /
+            size(array_distinct(concat(col("tk_a"), col("tk_b")))), 4).as("jaccard"))
+        .orderBy("id_a")
+    }),
+
+    "q22_ann_brute_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      graft.ann.Ann.bruteForceTopK(queries, emb, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "q23_doc_text_stats" -> ((s, dir) => {
+      import graft.functions.TextFns
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          round(element_at(TextFns.langScores(col("text")), "en"), 4).as("en_stop_ratio"),
+          TextFns.subwordCount(col("text")).as("n_subwords"))
+        .orderBy("doc_id")
+    }),
+
+    "q24_embedding_neardup" -> ((s, dir) => {
+      // plant 5 exact duplicate vectors; LSH buckets must recover exactly
+      // those pairs (identical vectors share every signature)
+      val emb = t(s, dir, "embeddings")
+      val planted = emb.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding"), col("label"))
+      graft.ann.Ann.cosineNearDupPairs(emb.unionByName(planted), threshold = 0.95)
+        .orderBy("id_a")
+    }),
+
+    "q25_ann_lsh_self_recall" -> ((s, dir) => {
+      // identical query/corpus vectors land in the same bucket in every
+      // table → rank-1 must be the vector itself at cosine 1.0
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      graft.ann.Ann.lshTopK(queries, emb, k = 3, bits = 10, tables = 2)
+        .filter(col("rank") === 1)
+        .select("query_id", "vec_id", "cosine")
+        .orderBy("query_id")
+    }),
+
+    // ---- rows-only entries (non-SQL-expressible; covered by ScalaTest) --
+    "q26_doc_langid" -> ((s, dir) => {
+      import graft.functions.TextFns
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFns.langId(col("text")).as("pred_lang"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
+    "q27_doc_minhash_pairs" -> ((s, dir) => {
+      // near-dup candidates over the documents table (vocab overlap only —
+      // the synthetic docs share a small vocabulary, so low threshold)
+      graft.dedup.DocDedup.minhashPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 200), threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q28_doc_simhash" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), graft.dedup.DocDedup.simhash(col("text")).as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    "q29_doc_fingerprint" -> ((s, dir) => {
+      import graft.functions.TextFns
+      t(s, dir, "documents")
+        .select(col("doc_id"), size(TextFns.fingerprint(col("text"))).as("n_fingerprints"))
+        .orderBy("doc_id")
+    }),
+
+    "q30_media_features" -> ((s, dir) => {
+      // multimodal plumbing: binary content + metadata → batch feature
+      // extraction with the stubbed decoder (see Multimodal scaladoc)
+      graft.multimodal.Multimodal.extractFeatures(
+        graft.multimodal.Multimodal.syntheticMedia(t(s, dir, "documents")))
+        .toDF.orderBy("media_id")
     }))
 
   // ----------------------------------------------------------- oracles
@@ -430,7 +523,48 @@ object SparkEntry {
 
     "q20_lang_distribution" ->
       """SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
-         FROM documents GROUP BY lang ORDER BY lang""")
+         FROM documents GROUP BY lang ORDER BY lang""",
+
+    "q21_token_jaccard_pairs" ->
+      """WITH toks AS (SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS tk
+                       FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.tk, b.tk))), 4) AS jaccard
+         FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1 ORDER BY id_a""",
+
+    "q22_ann_brute_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+                    FROM embeddings WHERE vec_id < 3),
+         scored AS (SELECT query_id, vec_id,
+                           round(list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])), 6) AS cosine
+                    FROM embeddings CROSS JOIN q)
+         SELECT query_id, vec_id, cosine, rank FROM (
+           SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, vec_id) AS INT) AS rank
+           FROM scored)
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "q23_doc_text_stats" -> {
+      val stopList = graft.functions.TextFns.LangProfiles.head._2.map(w => s"'$w'").mkString(", ")
+      s"""SELECT doc_id,
+          round(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                x -> list_contains([$stopList], x))) AS DOUBLE)
+                / len(string_split_regex(trim(text), '\\s+')), 4) AS en_stop_ratio,
+          CAST(len(regexp_extract_all(text, '[\\p{L}]+|[0-9]+|[^\\p{L}0-9\\s]', 0)) AS INT) AS n_subwords
+          FROM documents ORDER BY doc_id"""
+    },
+
+    "q24_embedding_neardup" ->
+      """SELECT id_a, id_b, cosine FROM (VALUES
+           (0, 10000, 1.0), (1, 10001, 1.0), (2, 10002, 1.0),
+           (3, 10003, 1.0), (4, 10004, 1.0))
+         t(id_a, id_b, cosine) ORDER BY id_a""",
+
+    "q25_ann_lsh_self_recall" ->
+      """SELECT query_id, vec_id, cosine FROM (VALUES
+           (0, 0, 1.0), (1, 1, 1.0), (2, 2, 1.0))
+         t(query_id, vec_id, cosine) ORDER BY query_id""")
 
   /** Golden URL VALUES oracles: expected strings produced by the byte-exact
     * pure builders (unit-tested against the reference's Python output).

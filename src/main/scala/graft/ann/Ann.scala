@@ -1,0 +1,108 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`): exact
+  * brute-force cosine top-k as the correctness baseline, and an LSH
+  * (random-hyperplane) bucketed variant as the scale path.
+  *
+  * Scale notes: brute-force is queries × corpus — fine when the query set
+  * is small enough to broadcast (the common "probe a few vectors" case);
+  * the LSH variant shuffles corpus rows only into their signature buckets
+  * so the join is bucket-local, trading recall for a corpus-sized (not
+  * quadratic) cost. All arithmetic is Column-level (`zip_with`/`aggregate`),
+  * no UDFs in the hot path.
+  */
+object Ann {
+
+  /** Dot product of two float vectors (double accumulation). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact brute-force cosine top-k.
+    *
+    * @param queries (query_id, embedding) — small; broadcast
+    * @param corpus  (vec_id, embedding)
+    * @return (query_id, vec_id, cosine, rank) with rank 1..k per query,
+    *         ties broken by vec_id for determinism
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .withColumn("cosine", round(cosine(col("q_embedding"), col("embedding")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cosine", "rank")
+  }
+
+  /** Random-hyperplane signature for LSH table `t`: bit i = sign(dot(v,
+    * h_{t,i})) where h_{t,i}[d] derives from xxhash64(t·10007+i, d) scaled
+    * to [-1, 1) — a deterministic hyperplane family with no stored model,
+    * reproducible on any cluster.
+    */
+  def hyperplaneSignature(vec: Column, t: Int, bits: Int): Column = {
+    val dims = sequence(lit(0), size(vec) - 1)
+    (0 until bits).map { i =>
+      val proj = aggregate(
+        zip_with(vec, dims, (x, d) =>
+          x.cast("double") *
+            ((pmod(xxhash64(lit(t * 10007 + i), d), lit(2000001L)) - 1000000L).cast("double") / 1000000.0)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  private def explodedBuckets(embCol: String, bits: Int, tables: Int): Column =
+    explode(array((0 until tables).map { t =>
+      struct(lit(t).as("t"), hyperplaneSignature(col(embCol), t, bits).as("sig"))
+    }: _*))
+
+  /** LSH-bucketed approximate top-k: corpus rows join queries only within
+    * matching (table, signature) buckets; `tables` independent signatures
+    * raise recall. May return fewer than k results for out-of-bucket
+    * queries — the recall/cost tradeoff is the point.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      bits: Int = 12, tables: Int = 4): DataFrame = {
+    val corpusB = corpus.withColumn("bucket", explodedBuckets("embedding", bits, tables))
+    val queriesB = queries.withColumn("bucket", explodedBuckets("q_embedding", bits, tables))
+    val candidates = corpusB.join(broadcast(queriesB), Seq("bucket"))
+      .dropDuplicates("query_id", "vec_id")
+      .withColumn("cosine", round(cosine(col("q_embedding"), col("embedding")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    candidates
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cosine", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs (dedup use-case): LSH buckets →
+    * within-bucket pairs → exact cosine ≥ threshold.
+    */
+  def cosineNearDupPairs(corpus: DataFrame, idCol: String = "vec_id",
+      threshold: Double = 0.95, bits: Int = 12, tables: Int = 4,
+      maxBucket: Int = 2000): DataFrame = {
+    val bucketed = corpus.select(
+      col(idCol).as("id"), col("embedding"),
+      explodedBuckets("embedding", bits, tables).as("bucket"))
+    val w = Window.partitionBy("bucket").orderBy("id")
+    val capped = bucketed.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= maxBucket).drop("__rn")
+    val a = capped.select(col("bucket"), col("id").as("id_a"), col("embedding").as("emb_a"))
+    val b = capped.select(col("bucket"), col("id").as("id_b"), col("embedding").as("emb_b"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", round(cosine(col("emb_a"), col("emb_b")), 6))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

@@ -100,117 +100,165 @@ object CrawlJob {
     val store = new SnapshotStore(checkpointDir)
 
     // ---- load or init state ------------------------------------------------
+    // frontier + hostStates are full snapshots (they shrink / stay tiny);
+    // seen / rates / metrics are APPEND-ONLY and stored as per-round delta
+    // files — the manifest carries the ';'-joined delta path list, so each
+    // round writes O(round delta), not O(total state). At 10^10 URLs a full
+    // seen-set rewrite per round would dominate everything.
     val resume = store.readCurrent()
     var round = resume.map(_._1).getOrElse(0)
-    def load(man: Map[String, String], t: String): DataFrame = spark.read.parquet(man(t))
-    var (frontier, seen, rates, hostStates, metrics) = resume match {
+    var (frontier, hostStates) = resume match {
       case Some((_, man)) =>
-        (load(man, "frontier"), load(man, "seen"), load(man, "rates"),
-          load(man, "hostStates").as[HostState], load(man, "metrics"))
+        (spark.read.parquet(man("frontier")), spark.read.parquet(man("hostStates")).as[HostState])
       case None =>
-        val f0 = UrlSeen.dedupWithinBatch(frontier0)
-        (f0,
-          spark.emptyDataset[(Long, String)].toDF("urlHash", "url"),
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            org.apache.spark.sql.types.StructType.fromDDL(
-              "card_code STRING, trans_code STRING, date DATE, provider_id INT, rate DOUBLE")),
-          spark.emptyDataset[HostState],
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            org.apache.spark.sql.types.StructType.fromDDL(
-              "round INT, host STRING, scheduled BIGINT, dedupDropped BIGINT, robotsDropped BIGINT, errorDropped BIGINT, ratesAppended BIGINT")))
+        (UrlSeen.dedupWithinBatch(frontier0), spark.emptyDataset[HostState])
     }
+    var seenPaths: Seq[String] = resume.map(_._2("seen").split(";").toIndexedSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    var ratesPaths: Seq[String] = resume.map(_._2("rates").split(";").toIndexedSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    var metricsPaths: Seq[String] = resume.map(_._2("metrics").split(";").toIndexedSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    def emptyDf(ddl: String): DataFrame = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    val RatesDdl = "card_code STRING, trans_code STRING, date DATE, provider_id INT, rate DOUBLE"
+    val SeenDdl = "urlHash BIGINT, url STRING"
+    val MetricsDdl = "round INT, host STRING, scheduled BIGINT, dedupDropped BIGINT, robotsDropped BIGINT, errorDropped BIGINT, ratesAppended BIGINT"
+    def seenDf: DataFrame =
+      if (seenPaths.isEmpty) emptyDf(SeenDdl) else spark.read.parquet(seenPaths: _*)
+    def ratesDf: DataFrame =
+      if (ratesPaths.isEmpty) emptyDf(RatesDdl) else spark.read.parquet(ratesPaths: _*)
+    def metricsDf: DataFrame =
+      if (metricsPaths.isEmpty) emptyDf(MetricsDdl) else spark.read.parquet(metricsPaths: _*)
 
     val providerId =
       when(col("provider") === "Mastercard", MastercardId).otherwise(VisaId)
 
     // ---- rounds ------------------------------------------------------------
+    // no robots rules at all (common in tests/bench) ⇒ skip the gate's
+    // broadcast-join subtree every round; checked once, not per round
+    val robotsEmpty = robots.isEmpty
     var frontierCount = frontier.count()
     while (frontierCount > 0 && round < maxRounds) {
       round += 1
 
-      // 1. dedup against the seen set (bloom prune + exact anti-join)
-      val fresh = UrlSeen.filterNewBloom(spark, frontier, seen, expectedItems = math.max(frontierCount, 1000L))
-      // 2. robots gate
-      val allowedF = Robots.allowed(fresh, robots)
+      val tRound = System.nanoTime()
+      // 1. dedup against the seen set (bloom prune + exact anti-join);
+      //    nothing seen yet (first round) ⇒ skip the whole dedup subtree
+      val fresh =
+        if (seenPaths.isEmpty) frontier
+        else UrlSeen.filterNewBloom(spark, frontier, seenDf, expectedItems = math.max(frontierCount, 1000L))
+      // 2. robots gate; cached — the surviving frontier feeds both the
+      //    scheduler and the next-round frontier anti-join
+      val allowedF = (if (robotsEmpty) fresh else Robots.allowed(fresh, robots)).cache()
       // 3. per-host politeness schedule
       val sched = Scheduler.scheduleRound(allowedF, hostStates.toDF, cfg, roundSec)
         .cache()
 
-      // 4. "fetch": equi-join against the page table on url — the offline,
-      //    deterministic stand-in for the downloader (SURVEY.md §2#19)
-      val fetched = sched.join(pages.select(col("url"), col("text")), Seq("url"), "left").cache()
+      // materialize the schedule cache NOW, before anything else consumes
+      // it: concurrent downstream actions on a cold cache would each
+      // recompute the whole dedup→robots→schedule chain (AQE compiles a
+      // fresh physical plan per action; only materialized cache blocks are
+      // shared). sched rows are slim — a few hundred bytes each.
+      sched.count()
 
-      // 5. extract per provider; MC error pages are dropped (not stored),
-      //    Visa parse misses store a null rate (reference parity)
-      val mcRows = fetched
-        .filter(col("provider") === "Mastercard" && col("text").isNotNull)
-        .filter(!Extractors.mcIsError(col("text")))
-        .withColumn("rate", Extractors.mcRate(col("text")))
-      val visaRows = fetched
-        .filter(col("provider") === "Visa" && col("text").isNotNull)
-        .withColumn("rate", Extractors.visaRate(col("text")))
-      val parsed = mcRows.unionAll(visaRows)
+      // 4. "fetch": equi-join against the page table on url — the offline,
+      //    deterministic stand-in for the downloader (SURVEY.md §2#19).
+      //    Deliberately NOT cached: page bodies are KBs per row; we stream
+      //    them once through extraction and cache only the slim result.
+      val fetched = sched.join(pages.select(col("url"), col("text")), Seq("url"), "left")
+
+      // 5. extract per provider in ONE pass over the page text; MC error
+      //    pages are dropped (not stored), Visa parse misses store a null
+      //    rate (reference parity). The text column is gone after this.
+      val extracted = fetched.select(
+        col("host"), col("card_c"), col("trans_c"), col("date"),
+        providerId.as("provider_id"),
+        col("text").isNotNull.as("hit"),
+        (col("provider") === "Mastercard" && col("text").isNotNull &&
+          Extractors.mcIsError(col("text"))).as("is_err"),
+        when(col("provider") === "Mastercard", Extractors.mcRate(col("text")))
+          .otherwise(Extractors.visaRate(col("text"))).as("rate"))
+        .cache()
+      extracted.count() // one streaming pass fills the (slim) cache
+
+      val parsed = extracted
+        .filter(col("hit") && !col("is_err"))
         .select(
           col("card_c").as("card_code"),
           col("trans_c").as("trans_code"),
           col("date"),
-          providerId.as("provider_id"),
+          col("provider_id"),
           col("rate"))
 
       // 6. append rates honoring the unique constraint (orm.py:33-34):
-      //    set-difference upsert, same as the currency-dim insert-if-absent
-      val newRates = parsed.join(
-        rates.select("card_code", "trans_code", "date", "provider_id"),
+      //    set-difference upsert (duplicate keys within the batch AND vs
+      //    prior rounds both excluded), written as this round's delta
+      val parsedUnique = parsed.dropDuplicates("card_code", "trans_code", "date", "provider_id")
+      val newRates = parsedUnique.join(
+        ratesDf.select("card_code", "trans_code", "date", "provider_id"),
         Seq("card_code", "trans_code", "date", "provider_id"), "left_anti")
-      val rates1 = rates.unionAll(newRates)
 
-      // 7. seen += scheduled canonical urls; frontier -= scheduled ∪ dropped
-      val seen1 = seen.unionAll(
-        sched.select(col("urlHash"), canonicalUdf(col("url")).as("url")))
+      // 7. seen delta = scheduled canonical urls; frontier -= scheduled
+      //    (dedup-dropped and robots-dropped rows leave the frontier too —
+      //    frontier1 derives from allowedF)
+      val seenDelta = sched.select(col("urlHash"), canonicalUdf(col("url")).as("url"))
       val frontier1 = allowedF.join(sched.select("urlHash", "url"), Seq("urlHash", "url"), "left_anti")
 
       // 8. host throttle state + per-round metrics (north_rule lineage)
       val hostStates1 = Scheduler.updateHostStates(sched, hostStates, cfg, round, roundSec)
-      val mcErrDropped = fetched
-        .filter(col("provider") === "Mastercard" && col("text").isNotNull)
-        .filter(Extractors.mcIsError(col("text")))
+      val mcErrDropped = extracted
+        .filter(col("is_err"))
         .groupBy("host").agg(count(lit(1)).as("errorDropped"))
-      val perHost = sched.groupBy("host").agg(count(lit(1)).as("scheduled"))
+      val metricsDelta = sched.groupBy("host").agg(count(lit(1)).as("scheduled"))
         .join(mcErrDropped, Seq("host"), "left")
         .select(
           lit(round).as("round"), col("host"), col("scheduled"),
           lit(0L).as("dedupDropped"), lit(0L).as("robotsDropped"),
           coalesce(col("errorDropped"), lit(0L)).as("errorDropped"),
           lit(0L).as("ratesAppended"))
-      val metrics1 = metrics.unionAll(perHost)
 
-      // 9. atomic snapshot commit — write data, then swap manifest
-      def persist(name: String, df: DataFrame): (String, String) = {
+      // 9. atomic snapshot commit — write data files, then swap manifest.
+      //    Append-only tables write only this round's delta; the manifest
+      //    names the full delta chain (Iceberg manifest-list analogue).
+      //    The five writes are independent — submit them concurrently so
+      //    the round pays one write latency, not five (Spark's scheduler
+      //    interleaves the jobs across the executor pool).
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      def persist(name: String, df: DataFrame): Future[String] = Future {
         val p = store.dataPath(name, round)
         df.write.mode("overwrite").parquet(p)
-        name -> p
+        p
       }
-      val manifest = Map(
+      val writes = Future.sequence(Seq(
         persist("frontier", frontier1),
-        persist("seen", seen1),
-        persist("rates", rates1),
         persist("hostStates", hostStates1.toDF),
-        persist("metrics", metrics1))
-      store.commit(round, manifest)
+        persist("seen", seenDelta),
+        persist("rates", newRates),
+        persist("metrics", metricsDelta)))
+      val Seq(frontierPath, hostStatesPath, seenPath, ratesPath, metricsPath) =
+        Await.result(writes, Duration.Inf)
+      seenPaths = seenPaths :+ seenPath
+      ratesPaths = ratesPaths :+ ratesPath
+      metricsPaths = metricsPaths :+ metricsPath
+      store.commit(round, Map(
+        "frontier" -> frontierPath,
+        "hostStates" -> hostStatesPath,
+        "seen" -> seenPaths.mkString(";"),
+        "rates" -> ratesPaths.mkString(";"),
+        "metrics" -> metricsPaths.mkString(";")))
 
       // reload from the committed snapshot: truncates lineage so plans don't
       // grow unboundedly across rounds (the iterative-algorithm idiom)
-      frontier = spark.read.parquet(manifest("frontier"))
-      seen = spark.read.parquet(manifest("seen"))
-      rates = spark.read.parquet(manifest("rates"))
-      hostStates = spark.read.parquet(manifest("hostStates")).as[HostState]
-      metrics = spark.read.parquet(manifest("metrics"))
+      frontier = spark.read.parquet(frontierPath)
+      hostStates = spark.read.parquet(hostStatesPath).as[HostState]
       sched.unpersist()
-      fetched.unpersist()
+      extracted.unpersist()
+      allowedF.unpersist()
       frontierCount = frontier.count()
+      if (sys.env.contains("SPARK_GRAFT_VERBOSE"))
+        println(f"[crawl] round $round done in ${(System.nanoTime() - tRound) / 1e9}%.1f s; frontier left: $frontierCount")
     }
-    (rates, seen, metrics)
+    (ratesDf, seenDf, metricsDf)
   }
 }

@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID, quality scoring, token counting, document fingerprinting.
+  * All pure Column expressions (whole-stage-codegen friendly) except the
+  * rolling-hash fingerprint, which is a deterministic Scala UDF.
+  */
+object TextFns {
+
+  /** Whitespace tokens (Python str.split() semantics: runs of whitespace,
+    * no empty tokens).
+    */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: letter runs + digit runs + punctuation singles,
+    * the standard cheap proxy for tokenizer load in data pipelines.
+    */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("""[\p{L}]+|[0-9]+|[^\p{L}0-9\s]"""), lit(0)))
+
+  // ------------------------------------------------------------ language ID
+
+  /** Tiny per-language stopword profiles (public common-word lists). The
+    * classifier scores each language by the fraction of tokens that are
+    * stopwords of that language and picks the argmax (ties → first in
+    * [[LangProfiles]] order); below `minHits` hits it returns "und".
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for", "was", "on", "with", "as", "at"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "ein", "eine", "zu", "den", "nicht", "im", "auf", "für"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "est", "un", "une", "du", "dans", "que", "pour", "pas", "sur"),
+    "es" -> Seq("el", "la", "los", "las", "de", "y", "es", "un", "una", "del", "en", "que", "por", "para", "con"))
+
+  def langScores(text: Column): Column = {
+    val toks = transform(tokens(text), lower _)
+    val n = greatest(size(toks), lit(1)).cast("double")
+    map_from_arrays(
+      array(LangProfiles.map(p => lit(p._1)): _*),
+      array(LangProfiles.map { case (_, words) =>
+        size(filter(toks, t => t.isin(words.map(_.asInstanceOf[Any]): _*))) / n
+      }: _*))
+  }
+
+  /** Predicted language code, or "und" when no profile scores > 0. */
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    val best = LangProfiles.map(_._1).foldLeft(struct(lit(-1.0).as("s"), lit("und").as("l"))) {
+      (acc, lang) =>
+        val s = element_at(scores, lang)
+        when(s > acc.getField("s"), struct(s.as("s"), lit(lang).as("l"))).otherwise(acc)
+    }
+    when(best.getField("s") > 0.0, best.getField("l")).otherwise(lit("und"))
+  }
+
+  // --------------------------------------------------------- quality score
+
+  /** Heuristic quality signals used by pretraining filters (C4/Gopher-style
+    * rules re-expressed as Columns): mean word length, stopword ratio,
+    * punctuation-terminal ratio, alpha ratio, repetition ratio.
+    */
+  def qualitySignals(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = greatest(size(toks), lit(1)).cast("double")
+    val enStop = LangProfiles.head._2
+    val meanWordLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok
+    val stopRatio = size(filter(transform(toks, lower _), t => t.isin(enStop.map(_.asInstanceOf[Any]): _*))) / nTok
+    val alphaRatio = length(regexp_replace(text, "[^\\p{L}]", "")).cast("double") /
+      greatest(length(text), lit(1))
+    val punctTerm = length(regexp_replace(text, "[^.!?]", "")).cast("double") / nTok
+    val distinctRatio = size(array_distinct(toks)) / nTok
+    struct(
+      round(meanWordLen, 4).as("mean_word_len"),
+      round(stopRatio, 4).as("stopword_ratio"),
+      round(alphaRatio, 4).as("alpha_ratio"),
+      round(punctTerm, 4).as("punct_per_token"),
+      round(distinctRatio, 4).as("distinct_token_ratio"))
+  }
+
+  /** Scalar [0,1] quality score: the Gopher-ish band checks, averaged. */
+  def qualityScore(text: Column): Column = {
+    val s = qualitySignals(text)
+    val checks = Seq(
+      s.getField("mean_word_len").between(3.0, 10.0),
+      s.getField("stopword_ratio") >= 0.01,
+      s.getField("alpha_ratio") >= 0.6,
+      s.getField("distinct_token_ratio") >= 0.2)
+    round(checks.map(c => when(c, 1.0).otherwise(0.0)).reduce(_ + _) / checks.size, 4)
+  }
+
+  // ---------------------------------------------------------- fingerprint
+
+  /** Winnowing-style document fingerprint: polynomial rolling hash over
+    * character k-grams, keep the minimum hash per window — a compact
+    * near-dup signature (k=9, window=16; Schleimer et al., SIGMOD'03).
+    * Deterministic; returns a sorted distinct array of selected hashes.
+    */
+  val fingerprintUdf = udf((text: String, k: Int, window: Int) => {
+    if (text == null || text.length < k) Array.empty[Long]
+    else {
+      val n = text.length - k + 1
+      val hashes = new Array[Long](n)
+      val B = 1000000007L
+      var h = 0L
+      var pow = 1L
+      var i = 0
+      while (i < k) { h = h * B + text.charAt(i); if (i < k - 1) pow = pow * B; i += 1 }
+      hashes(0) = h
+      i = 1
+      while (i < n) {
+        h = (h - text.charAt(i - 1) * pow) * B + text.charAt(i + k - 1)
+        hashes(i) = h
+        i += 1
+      }
+      val selected = scala.collection.mutable.SortedSet.empty[Long]
+      var w = 0
+      while (w + window <= n) {
+        var m = Long.MaxValue
+        var j = w
+        while (j < w + window) { if (hashes(j) < m) m = hashes(j); j += 1 }
+        selected += m
+        w += window
+      }
+      selected.toArray
+    }
+  })
+
+  def fingerprint(text: Column, k: Int = 9, window: Int = 16): Column =
+    fingerprintUdf(text, lit(k), lit(window))
+}

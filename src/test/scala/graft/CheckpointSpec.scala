@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.checkpoint.SnapshotStore
+import graft.crawl.CrawlJob
+import graft.model.PolitenessConfig
+import graft.plan.Frontier
+import graft.synth.Synth
+
+/** Checkpoint/resume semantics (SURVEY.md §7.5 risk 4 + north_rule "exact
+  * resume"): atomic manifest commits; a crawl interrupted mid-way and
+  * resumed produces bit-identical final state to an uninterrupted run.
+  */
+class CheckpointSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("SnapshotStore: commit/readCurrent round-trip, version lineage") {
+    val dir = Files.createTempDirectory("snap").toString
+    val store = new SnapshotStore(dir)
+    assert(store.currentVersion() === None)
+    store.commit(1, Map("rates" -> "/data/r1", "seen" -> "/data/s1"))
+    store.commit(2, Map("rates" -> "/data/r2", "seen" -> "/data/s1;/data/s2"))
+    assert(store.currentVersion() === Some(2))
+    assert(store.readManifest(2)("seen") === "/data/s1;/data/s2")
+    assert(store.readManifest(1)("rates") === "/data/r1")
+    assert(store.versions() === Seq(1, 2))
+  }
+
+  private def smallCrawlInputs() = {
+    val currs = Frontier.currencyDim(spark, Seq("GBP", "USD", "EUR", "JPY"))
+    val seeds = Frontier.candidates(currs, java.time.LocalDate.of(1995, 9, 10), 4)
+    val frontier = CrawlJob.expandSeeds(seeds, "Mastercard")
+    val pages = Synth.mcPages(seeds)
+    val robots = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL("host STRING, pathPrefix STRING, allow BOOLEAN"))
+    (frontier, pages, robots)
+  }
+
+  // budget 10/round on one host → 48 seeds need 5 rounds
+  private val cfg = PolitenessConfig(maxPerHost = 10)
+
+  test("kill-and-resume ≡ uninterrupted run (rates + seen + metrics rounds)") {
+    val (frontier, pages, robots) = smallCrawlInputs()
+
+    val dirA = Files.createTempDirectory("crawlA").toString
+    val (ratesA, seenA, _) = CrawlJob.run(spark, frontier, pages, robots, dirA, cfg, roundSec = 1.25)
+
+    // interrupted: stop after 2 rounds, then resume to completion
+    val dirB = Files.createTempDirectory("crawlB").toString
+    CrawlJob.run(spark, frontier, pages, robots, dirB, cfg, roundSec = 1.25, maxRounds = 2)
+    assert(new SnapshotStore(dirB).currentVersion() === Some(2))
+    val (ratesB, seenB, _) = CrawlJob.run(spark, frontier, pages, robots, dirB, cfg, roundSec = 1.25)
+
+    val a = ratesA.orderBy("card_code", "trans_code", "date")
+      .collect().map(_.toString).toSeq
+    val b = ratesB.orderBy("card_code", "trans_code", "date")
+      .collect().map(_.toString).toSeq
+    assert(a === b)
+    assert(seenA.select("url").as[String].collect().toSet ===
+      seenB.select("url").as[String].collect().toSet)
+    // both completed all 5 rounds' worth of work
+    assert(a.nonEmpty)
+  }
+
+  test("rounds advance the snapshot version; resume continues numbering") {
+    val (frontier, pages, robots) = smallCrawlInputs()
+    val dir = Files.createTempDirectory("crawlV").toString
+    CrawlJob.run(spark, frontier, pages, robots, dir, cfg, roundSec = 1.25, maxRounds = 3)
+    val store = new SnapshotStore(dir)
+    assert(store.currentVersion() === Some(3))
+    CrawlJob.run(spark, frontier, pages, robots, dir, cfg, roundSec = 1.25)
+    assert(store.currentVersion().get > 3)
+    // lineage: every round's manifest is retained
+    assert(store.versions() === (1 to store.currentVersion().get))
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.UrlSeen
+import graft.urls.Urls
+
+/** URL-seen dedup invariants (SURVEY.md §5.3): within-batch keep-first,
+  * bloom path ≡ exact path (no false drops ever), canonical keying.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("within-batch dedup keeps the first occurrence by seq") {
+    val batch = Seq(
+      ("http://a.com/x", 5L), ("http://a.com/x", 2L), ("http://a.com/x", 9L),
+      ("http://a.com/y", 7L))
+      .toDF("url", "seq")
+    val out = UrlSeen.dedupWithinBatch(batch).as[(String, Long)].collect().toSet
+    assert(out === Set(("http://a.com/x", 2L), ("http://a.com/y", 7L)))
+  }
+
+  test("bloom-pruned dedup returns exactly the exact-anti-join result") {
+    val canon = udf((u: String) => Urls.canonicalize(u))
+    val seen = (1 to 2000).map(i => s"http://seen.com/p$i")
+      .toDF("url").select(xxhash64(canon(col("url"))).as("urlHash"), col("url"))
+    val candidates = ((1500 to 2500).map(i => s"http://seen.com/p$i") ++
+      (1 to 100).map(i => s"http://new.com/q$i"))
+      .zipWithIndex
+      .toDF("url", "seq")
+      .select(col("url"), col("seq"), xxhash64(canon(col("url"))).as("urlHash"))
+    val exact = UrlSeen.filterNewExact(candidates, seen).select("url").as[String].collect().toSet
+    val bloom = UrlSeen.filterNewBloom(spark, candidates, seen, expectedItems = 2000)
+      .select("url").as[String].collect().toSet
+    assert(bloom === exact)
+    assert(exact.size === (2500 - 2000) + 100)
+    assert(exact.forall(u => u.contains("new.com") || u.matches(".*p2[0-4][0-9][0-9]|.*p2500")))
+  }
+
+  test("canonical keying: fragment/case/param-order variants collapse to one") {
+    val urls = Seq(
+      "http://A.com/path?b=2&a=1",
+      "http://a.com/path?a=1&b=2#frag",
+      "HTTP://a.com:80/path?b=2&a=1").zipWithIndex
+    val canon = udf((u: String) => Urls.canonicalize(u))
+    val df = urls.toDF("url", "seq")
+      .withColumn("curl", canon(col("url")))
+      .withColumn("urlHash", xxhash64(col("curl")))
+    assert(df.select("urlHash").distinct().count() === 1)
+    val kept = UrlSeen.dedupWithinBatch(df.withColumn("url", col("curl")))
+    assert(kept.count() === 1)
+    assert(kept.select("seq").as[Int].head() === 0)
+  }
+}

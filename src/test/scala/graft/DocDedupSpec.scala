@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.DocDedup
+
+class DocDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 20 genuinely-distinct docs (disjoint vocabularies) + near-dup of #0
+    * (one word changed) + exact dup of #1.
+    */
+  private def docs = {
+    val distinct = (0 until 20).map { i =>
+      val words = (0 until 30).map(j => s"w${i}x${(i * 31 + j * 7) % 97}t$j")
+      (i.toLong, words.mkString(" "))
+    }
+    val nearDup = (100L, distinct(0)._2.replace("w0x0t0", "changed"))
+    val exactDup = (101L, distinct(1)._2)
+    (distinct :+ nearDup :+ exactDup).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts, keeps lowest id") {
+    val out = DocDedup.exact(docs).filter(col("n_copies") > 1).collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[Long]("keep_id") === 1L)
+    assert(out(0).getAs[Long]("n_copies") === 2L)
+  }
+
+  test("minhash LSH finds the planted near-dup pair and the exact dup") {
+    val pairs = DocDedup.minhashPairs(docs, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 100L)), "near-dup (0,100) missed")
+    assert(pairs.contains((1L, 101L)), "exact dup (1,101) missed")
+    // no false positives among the unrelated distinct docs
+    assert(!pairs.exists { case (a, b) => a < 20 && b < 20 })
+  }
+
+  test("nearDupPairs verifies with exact jaccard") {
+    val pairs = DocDedup.nearDupPairs(docs, threshold = 0.6)
+      .as[(Long, Long, Double)].collect()
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys === Set((0L, 100L), (1L, 101L)))
+    val exact = pairs.find(p => p._1 == 1L).get._3
+    assert(exact === 1.0) // identical docs
+  }
+
+  test("simhash: identical docs distance 0; near-dups close; pairs found") {
+    val sigs = docs.select(col("doc_id"), DocDedup.simhash(col("text")).as("sig"))
+    val byId = sigs.as[(Long, Long)].collect().toMap
+    assert(byId(1L) === byId(101L))
+    val nearDist = java.lang.Long.bitCount(byId(0L) ^ byId(100L))
+    assert(nearDist <= 16, s"near-dup simhash distance $nearDist")
+    // unrelated docs sit near the random baseline (~32 bits)
+    assert(java.lang.Long.bitCount(byId(2L) ^ byId(3L)) > 16)
+    val pairs = DocDedup.simhashPairs(docs, maxHamming = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 101L)))
+    assert(pairs.contains((0L, 100L)))
+  }
+
+  test("shingles: k consecutive tokens, distinct, short-doc fallback") {
+    val out = Seq("a b c d", "x y").toDF("t")
+      .select(DocDedup.shingles(col("t"), 3)).as[Seq[String]].collect()
+    assert(out(0).toSet === Set("a b c", "b c d"))
+    assert(out(1) === Seq("x y"))
+  }
+}

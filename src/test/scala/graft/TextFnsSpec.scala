@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+class TextFnsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount: whitespace runs, Python str.split() semantics") {
+    val out = Seq("a b  c", "  leading and trailing  ", "one", "")
+      .toDF("t").select(TextFns.tokenCount(col("t"))).as[Int].collect()
+    assert(out.toSeq === Seq(3, 3, 1, 0))
+  }
+
+  test("langId picks the dominant stopword profile") {
+    val rows = Seq(
+      "the cat sat on the mat and it was happy" -> "en",
+      "der hund und die katze sind nicht im haus" -> "de",
+      "le chat est dans la maison et il est content pour le moment" -> "fr",
+      "el perro y el gato en la casa es un animal" -> "es",
+      "zzz qqq xxx www" -> "und")
+    val out = rows.map(_._1).toDF("t")
+      .select(TextFns.langId(col("t"))).as[String].collect()
+    assert(out.toSeq === rows.map(_._2))
+  }
+
+  test("quality signals: clean prose scores above keyboard mash") {
+    val out = Seq(
+      "The quick brown fox jumps over the lazy dog. It was a fine day and the fox was glad.",
+      "zx zx zx zx zx zx zx zx zx zx zx zx")
+      .toDF("t").select(TextFns.qualityScore(col("t"))).as[Double].collect()
+    assert(out(0) > out(1))
+    assert(out(0) >= 0.75)
+  }
+
+  test("fingerprint: deterministic, content-sensitive, shared-content overlap") {
+    val a = "the quick brown fox jumps over the lazy dog again and again in the morning"
+    val b = a // identical
+    val c = a.replace("fox", "cat")
+    val out = Seq(a, b, c).toDF("t")
+      .select(TextFns.fingerprint(col("t"))).as[Array[Long]].collect()
+    assert(out(0).toSeq === out(1).toSeq)
+    assert(out(0).toSeq !== out(2).toSeq)
+    // near-identical docs share most fingerprint hashes
+    val shared = out(0).toSet.intersect(out(2).toSet).size.toDouble
+    assert(shared / out(0).length > 0.3)
+  }
+
+  test("subwordCount splits letter/non-letter boundaries") {
+    val out = Seq("hello world42 x-y").toDF("t")
+      .select(TextFns.subwordCount(col("t"))).as[Int].collect()
+    // hello | world | 42 | x | - | y
+    assert(out(0) === 6)
+  }
+}
