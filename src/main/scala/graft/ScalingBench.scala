@@ -41,6 +41,7 @@ object ScalingBench {
         // subtracts, so max-throughput is the capability estimate
         val rows = lines.asScala.map(_.split("\t")).map(a =>
           (a(0).toInt, a(1).toDouble, a(2).toLong, a(3).toInt, a(4).toDouble)).toSeq
+          .filter(_._3 == nUrls) // only same-size runs are comparable
         val byCpu = rows.groupBy(_._1).map { case (c, rs) => c -> rs.maxBy(_._5) }
         val nCpu = byCpu.keys.min
         val n4Cpu = byCpu.keys.max
@@ -120,14 +121,17 @@ object ScalingBench {
       // materialize the page table: at production scale pages are a stored
       // Iceberg table, and parquet-backed stats keep Catalyst from trying
       // to broadcast a multi-GB "estimated tiny" synthetic plan
-      val pagesPath = s"${sys.env.getOrElse("SPARK_GRAFT_BENCH_TMPDIR", "/tmp")}/graft-pages-$nUrls"
+      val pagesPath = s"${sys.env.getOrElse("SPARK_GRAFT_BENCH_TMPDIR", "/tmp")}/graft-pages-$nUrls-$nHosts-$hotPermille"
       if (!Files.exists(Paths.get(pagesPath, "_SUCCESS")))
         BenchWorkload.pages(frontier).write.mode("overwrite").parquet(pagesPath)
       val pages = spark.read.parquet(pagesPath)
       // generous politeness so the frontier drains in a handful of rounds:
       // the bench measures pipeline throughput, not crawl-delay waiting
-      val cfg = PolitenessConfig(maxGlobal = Int.MaxValue, maxPerHost = 20000,
+      val cfg = PolitenessConfig(
+        maxGlobal = Int.MaxValue,
+        maxPerHost = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXPERHOST", "200000").toInt,
         startDelaySec = 2.0, targetConcurrency = 16.0)
+      val roundSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDSEC", "25000").toDouble
       val robots = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL("host STRING, pathPrefix STRING, allow BOOLEAN"))
@@ -136,7 +140,7 @@ object ScalingBench {
       val t0 = System.nanoTime()
       val (_, seen, _) = CrawlJob.run(
         spark, frontier, pages, robots, ckpt, cfg,
-        roundSec = 10000.0, maxRounds = 100)
+        roundSec = roundSec, maxRounds = 100)
       val scheduled = seen.count()
       val wall = (System.nanoTime() - t0) / 1e9
       val rounds = new graft.checkpoint.SnapshotStore(ckpt).currentVersion().getOrElse(0)

@@ -95,7 +95,8 @@ object CrawlJob {
       checkpointDir: String,
       cfg: PolitenessConfig = PolitenessConfig(),
       roundSec: Double = 10.0,
-      maxRounds: Int = 1000): (DataFrame, DataFrame, DataFrame) = {
+      maxRounds: Int = 1000,
+      maxRetries: Int = 2): (DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
     val store = new SnapshotStore(checkpointDir)
 
@@ -142,10 +143,17 @@ object CrawlJob {
 
       val tRound = System.nanoTime()
       // 1. dedup against the seen set (bloom prune + exact anti-join);
-      //    nothing seen yet (first round) ⇒ skip the whole dedup subtree
+      //    nothing seen yet (first round) ⇒ skip the whole dedup subtree.
+      //    Retry rows (retries > 0) BYPASS the dupefilter — Scrapy re-enqueues
+      //    retries with dont_filter semantics, and they are in `seen` already.
       val fresh =
         if (seenPaths.isEmpty) frontier
-        else UrlSeen.filterNewBloom(spark, frontier, seenDf, expectedItems = math.max(frontierCount, 1000L))
+        else {
+          val firstTry = frontier.filter(col("retries") === 0)
+          val retries = frontier.filter(col("retries") > 0)
+          UrlSeen.filterNewBloom(spark, firstTry, seenDf, expectedItems = math.max(frontierCount, 1000L))
+            .unionByName(retries)
+        }
       // 2. robots gate; cached — the surviving frontier feeds both the
       //    scheduler and the next-round frontier anti-join
       val allowedF = (if (robotsEmpty) fresh else Robots.allowed(fresh, robots)).cache()
@@ -164,13 +172,19 @@ object CrawlJob {
       //    deterministic stand-in for the downloader (SURVEY.md §2#19).
       //    Deliberately NOT cached: page bodies are KBs per row; we stream
       //    them once through extraction and cache only the slim result.
-      val fetched = sched.join(pages.select(col("url"), col("text")), Seq("url"), "left")
+      //    SHUFFLE_HASH hint with the slim schedule as build side: a
+      //    sort-merge join would SORT the KB-per-row page partitions —
+      //    thread dumps showed that copyMemory-heavy sort dominating the
+      //    round. Hash-probing streams the fat side untouched.
+      val fetched = sched.hint("shuffle_hash")
+        .join(pages.select(col("url"), col("text")), Seq("url"), "left")
 
       // 5. extract per provider in ONE pass over the page text; MC error
       //    pages are dropped (not stored), Visa parse misses store a null
       //    rate (reference parity). The text column is gone after this.
       val extracted = fetched.select(
-        col("host"), col("card_c"), col("trans_c"), col("date"),
+        col("url"), col("urlHash"), col("host"), col("card_c"), col("trans_c"), col("date"),
+        col("provider"), col("priority"), col("seq"), col("retries"),
         providerId.as("provider_id"),
         col("text").isNotNull.as("hit"),
         (col("provider") === "Mastercard" && col("text").isNotNull &&
@@ -199,9 +213,20 @@ object CrawlJob {
 
       // 7. seen delta = scheduled canonical urls; frontier -= scheduled
       //    (dedup-dropped and robots-dropped rows leave the frontier too —
-      //    frontier1 derives from allowedF)
+      //    frontier1 derives from allowedF). Fetch misses re-enter at
+      //    priority-1 with retries+1, capped at maxRetries (Scrapy's retry
+      //    middleware defaults, SURVEY.md §2#30).
       val seenDelta = sched.select(col("urlHash"), canonicalUdf(col("url")).as("url"))
-      val frontier1 = allowedF.join(sched.select("urlHash", "url"), Seq("urlHash", "url"), "left_anti")
+      val retryRows = extracted
+        .filter(!col("hit") && col("retries") < maxRetries)
+        .select(
+          col("url"), col("urlHash"), col("host"), col("card_c"), col("trans_c"),
+          col("date"), col("provider"),
+          (col("priority") - 1).as("priority"), col("seq"),
+          (col("retries") + 1).as("retries"))
+      val frontier1 = allowedF
+        .join(sched.select("urlHash", "url"), Seq("urlHash", "url"), "left_anti")
+        .unionByName(retryRows)
 
       // 8. host throttle state + per-round metrics (north_rule lineage)
       val hostStates1 = Scheduler.updateHostStates(sched, hostStates, cfg, round, roundSec)

@@ -1,0 +1,47 @@
+package graft.plan
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dimension-table maintenance (SURVEY.md §2 #10-11).
+  *
+  * The reference seeds providers from the spider registry (client.py:85-89)
+  * and upserts currency codes one-by-one, swallowing IntegrityError
+  * (client.py:173-181) — an insert-if-absent. Here both are set-difference
+  * appends: `new left_anti existing` then union — one shuffle-free
+  * broadcast anti-join instead of a round-trip per row.
+  */
+object Dims {
+
+  /** Provider dim rows: ids 1..n in registry order (client.py:86-88). */
+  def seedProviders(spark: SparkSession, names: Seq[String]): DataFrame = {
+    import spark.implicits._
+    names.zipWithIndex.map { case (n, i) => (i + 1, n) }.toDF("id", "name")
+  }
+
+  /** Insert-if-absent on alpha_code: the reference's IntegrityError-swallow
+    * semantics — existing rows win, new codes append.
+    */
+  def upsertCurrencies(existing: DataFrame, fresh: DataFrame): DataFrame = {
+    val newRows = fresh
+      .dropDuplicates("alpha_code")
+      .join(broadcast(existing.select("alpha_code")), Seq("alpha_code"), "left_anti")
+    existing.unionByName(newRows)
+  }
+
+  /** Currency dimension from a provider's dimension page in the page table:
+    * MC settlement-currencies JSON or the Visa calculator options HTML
+    * (SURVEY.md §2 #5-6).
+    */
+  def currenciesFromPage(pages: DataFrame, provider: String): DataFrame = {
+    import graft.extract.Extractors
+    val arr = provider match {
+      case "Mastercard" => Extractors.mcCurrencies(col("text"))
+      case "Visa" => Extractors.visaCurrencies(col("text"))
+      case other => throw new IllegalArgumentException(s"unknown provider: $other")
+    }
+    pages.select(explode(arr).as("c"))
+      .select(col("c.alpha_code").as("alpha_code"), col("c.name").as("name"))
+      .dropDuplicates("alpha_code")
+  }
+}

@@ -73,6 +73,25 @@ object Robots {
       .drop("__rhost", "__rules", "__path", "__verdict")
   }
 
+  /** Rules table from robots.txt pages stored in the page table itself —
+    * the offline dual of Scrapy fetching `/robots.txt` per host before
+    * crawling it (settings.py:22). Rows whose URL path is exactly
+    * /robots.txt are parsed (User-agent: * section) into (host,
+    * pathPrefix, allow) rules.
+    */
+  def rulesFromPages(pages: DataFrame): DataFrame = {
+    import pages.sparkSession.implicits._
+    val parseUdf = udf((host: String, body: String) =>
+      parse(host, if (body == null) "" else body)
+        .map(r => (r.pathPrefix, r.allow)))
+    val hostUdf = udf((u: String) => graft.urls.Urls.hostOf(u))
+    pages
+      .filter(col("url").rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]+/robots\\.txt$"))
+      .select(hostUdf(col("url")).as("host"), col("text"))
+      .select(col("host"), explode(parseUdf(col("host"), col("text"))).as("r"))
+      .select(col("host"), col("r._1").as("pathPrefix"), col("r._2").as("allow"))
+  }
+
   /** Offsite filter (SURVEY.md §2 #28): drop URLs whose host is not the
     * allowed domain or a subdomain of it (Scrapy OffsiteMiddleware).
     */

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.crawl.CrawlJob
+import graft.plan.Frontier
+import graft.synth.Synth
+
+/** Physical-plan assertions: the scale-critical choices must actually be
+  * in the plan, not just intended (builder prompt: ".explain and iterate").
+  */
+class PlanSpec extends SparkSpec {
+
+  test("fetch join is a shuffled-hash join with the slim side as build") {
+    val currs = Frontier.currencyDim(spark, Seq("GBP", "USD"))
+    val seeds = Frontier.candidates(currs, java.time.LocalDate.of(1995, 9, 10), 2)
+    val sched = CrawlJob.expandSeeds(seeds, "Mastercard")
+    val pages = Synth.mcPages(seeds)
+    val plan = sched.hint("shuffle_hash")
+      .join(pages.select(col("url"), col("text")), Seq("url"), "left")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), s"expected ShuffledHashJoin in:\n$plan")
+    assert(plan.contains("BuildLeft"), s"expected BuildLeft in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("missing anti-join pushes provider/date/currency filters to the scan side") {
+    import spark.implicits._
+    val rates = Seq(("GBP", "USD", java.sql.Date.valueOf("1995-09-07"), 1, 1.0))
+      .toDF("card_code", "trans_code", "date", "provider_id", "rate")
+    val providers = Seq((1, "Mastercard")).toDF("id", "name")
+    val currs = Frontier.currencyDim(spark, Seq("GBP", "USD"))
+    val cands = Frontier.candidates(currs, java.time.LocalDate.of(1995, 9, 10), 8)
+    val plan = Frontier.missing(cands, rates, providers, "Mastercard",
+      java.time.LocalDate.of(1995, 9, 10), 8, Seq("GBP", "USD"))
+      .queryExecution.optimizedPlan.toString
+    // anti-join present; membership+range predicates sit below it
+    assert(plan.contains("LeftAnti"))
+    assert(plan.contains("card_code IN") || plan.contains("card_code#"))
+  }
+
+  test("parquet scan prunes columns to the projection") {
+    val dir = java.nio.file.Files.createTempDirectory("prune").toString
+    import spark.implicits._
+    Seq((1L, "a", 1.0, "x")).toDF("k", "s", "v", "unused")
+      .write.mode("overwrite").parquet(dir)
+    val plan = spark.read.parquet(dir).select("k", "v")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<k:bigint,v:double>"), plan)
+  }
+
+  test("robots gate plan contains a broadcast join, not a shuffle of the frontier") {
+    import spark.implicits._
+    val frontier = (1 to 100).map(i => ("h.com", s"https://h.com/p$i", 0, i.toLong))
+      .toDF("host", "url", "priority", "seq")
+    val rules = Seq(("h.com", "/private", false)).toDF("host", "pathPrefix", "allow")
+    val plan = graft.politeness.Robots.allowed(frontier, rules)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}

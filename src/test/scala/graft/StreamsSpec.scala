@@ -1,0 +1,67 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Streams
+import graft.streaming.Streams.FetchEvent
+
+/** Structured Streaming surface tests driven by MemoryStream. */
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("watermarked windowed fetch metrics aggregate per host per hour") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Long)]
+    val events = input.toDF.toDF("ts", "host", "bytes").withColumn("fetched", lit(1))
+    val q = Streams.fetchMetricsByWindow(events)
+      .writeStream.format("memory").queryName("fetch_metrics").outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2026-01-01 10:05:00"), "a.com", 100L),
+        (ts("2026-01-01 10:55:00"), "a.com", 200L),
+        (ts("2026-01-01 11:05:00"), "b.com", 50L))
+      q.processAllAvailable()
+      // advance watermark far enough to close the 10:00 and 11:00 windows
+      input.addData((ts("2026-01-01 15:00:00"), "c.com", 1L))
+      q.processAllAvailable()
+      val out = spark.table("fetch_metrics")
+        .select("window_start", "host", "fetches", "bytes")
+        .as[(Timestamp, String, Long, Long)].collect().toSet
+      assert(out.contains((ts("2026-01-01 10:00:00"), "a.com", 2L, 300L)))
+      assert(out.contains((ts("2026-01-01 11:00:00"), "b.com", 1L, 50L)))
+    } finally q.stop()
+  }
+
+  test("stateful host sessions: AIMD delay update per fetch event") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[FetchEvent]
+    val q = Streams.hostSessions(input.toDS, targetConcurrency = 16.0, startDelaySec = 2.0)
+      .writeStream.format("memory").queryName("host_sessions").outputMode("append").start()
+    try {
+      input.addData(FetchEvent("a.com", ts("2026-01-01 10:00:00"), 1600L))
+      q.processAllAvailable()
+      input.addData(FetchEvent("a.com", ts("2026-01-01 10:00:05"), 1600L))
+      q.processAllAvailable()
+      val out = spark.table("host_sessions")
+        .as[Streams.HostSession].collect().sortBy(_.fetches)
+      assert(out.length === 2)
+      // fetch 1: delay = (2.0 + 0.1/16... latency 1.6s/16=0.1 → (2.0+0.1)/2 = 1.05
+      assert(math.abs(out(0).delaySec - 1.05) < 1e-9)
+      // fetch 2: (1.05 + 0.1)/2 = 0.575
+      assert(math.abs(out(1).delaySec - 0.575) < 1e-9)
+      assert(out(1).fetches === 2)
+      assert(!out(1).closed)
+    } finally q.stop()
+  }
+
+  test("seed ingest parses the frontier CSV dialect") {
+    val raw = Seq(("GBP", "USD", "07/09/1995")).toDF("card_c", "trans_c", "date")
+    val out = Streams.ingestSeeds(raw).as[(String, String, java.sql.Date)].head()
+    assert(out === (("GBP", "USD", java.sql.Date.valueOf("1995-09-07"))))
+  }
+}
