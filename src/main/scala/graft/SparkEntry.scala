@@ -385,6 +385,33 @@ object SparkEntry {
       graft.multimodal.Multimodal.extractFeatures(
         graft.multimodal.Multimodal.syntheticMedia(t(s, dir, "documents")))
         .toDF.orderBy("media_id")
+    }),
+
+    "q31_crawl_order" -> ((s, _) => {
+      // end-to-end scheduling-order parity under the DuckDB gate: a 3-round
+      // crawl (18 seeds, budget 8/host/round) must consume seeds in
+      // seq order in windows of 8 — round(seq) = floor(seq/8)+1
+      val currs = Frontier.currencyDim(s, Seq("GBP", "USD", "EUR"))
+      val seeds = Frontier.candidates(currs, TestDate, 3)
+      val frontier = CrawlJob.expandSeeds(seeds, "Mastercard")
+      val pages = Synth.mcPages(seeds)
+      val robots = s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL("host STRING, pathPrefix STRING, allow BOOLEAN"))
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-order").toString
+      CrawlJob.run(s, frontier, pages, robots, ckpt,
+        PolitenessConfig(maxPerHost = 8), roundSec = 1.0)
+      val store = new graft.checkpoint.SnapshotStore(ckpt)
+      val deltas = store.readManifest(store.currentVersion().get)("seen").split(";")
+      val canon = udf((u: String) => graft.urls.Urls.canonicalize(u))
+      val urlSeq = CrawlJob.expandSeeds(seeds, "Mastercard")
+        .select(canon(col("url")).as("url"), col("seq"))
+      val perRound = deltas.zipWithIndex.map { case (p, i) =>
+        s.read.parquet(p).select(col("url"), lit(i + 1).as("round"))
+      }.reduce(_ unionAll _)
+      perRound.join(urlSeq, Seq("url"))
+        .select(col("seq"), col("round").cast("int").as("round"))
+        .orderBy("seq")
     }))
 
   // ----------------------------------------------------------- oracles
@@ -564,7 +591,20 @@ object SparkEntry {
     "q25_ann_lsh_self_recall" ->
       """SELECT query_id, vec_id, cosine FROM (VALUES
            (0, 0, 1.0), (1, 1, 1.0), (2, 2, 1.0))
-         t(query_id, vec_id, cosine) ORDER BY query_id""")
+         t(query_id, vec_id, cosine) ORDER BY query_id""",
+
+    "q31_crawl_order" ->
+      // the oracle re-derives BOTH the itertools.product seed order
+      // (rightmost-fastest, dates descending) and the budget-window
+      // scheduling semantics from first principles in SQL
+      """WITH currs(c, i) AS (VALUES ('GBP', 0), ('USD', 1), ('EUR', 2)),
+         pairs AS (SELECT a.c AS card_c, b.c AS trans_c,
+                          a.i * 3 + b.i - a.i - CASE WHEN b.i > a.i THEN 1 ELSE 0 END AS pair_idx
+                   FROM currs a CROSS JOIN currs b WHERE a.c <> b.c),
+         seeds AS (SELECT pair_idx * 3 + d AS seq
+                   FROM pairs CROSS JOIN range(3) t(d))
+         SELECT seq, CAST(floor(seq / 8) + 1 AS INT) AS round
+         FROM seeds ORDER BY seq""")
 
   /** Golden URL VALUES oracles: expected strings produced by the byte-exact
     * pure builders (unit-tested against the reference's Python output).

@@ -66,4 +66,76 @@ object UrlSeen {
       definitelyNew.unionAll(filterNewExact(maybeSeen, seen))
     }
   }
+
+  // ------------------------------------------------- partitioned Bloom
+
+  /** The 10^10-scale path (north_rule "partitioned Bloom"): one Bloom per
+    * hash partition `pmod(urlHash, parts)`, stored as files under `dir` —
+    * a single filter over 10^10 keys at 1% fpp is ~12 GB (undriverable,
+    * unbroadcastable); P per-partition filters are each executor-loadable.
+    *
+    * Build: `groupByKey(pm).mapGroups` (typed Dataset API) — each task
+    * builds and writes its partition's filter to shared storage (local FS
+    * here; HDFS/object store on a cluster).
+    */
+  def buildPartitionedBlooms(
+      seen: DataFrame,
+      dir: String,
+      parts: Int,
+      expectedItemsPerPart: Long = 1000000L,
+      fpp: Double = 0.01): Unit = {
+    import seen.sparkSession.implicits._
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    seen
+      .select(col("urlHash"), pmod(col("urlHash"), lit(parts.toLong)).as("pm"))
+      .as[(Long, Long)]
+      .groupByKey(_._2)
+      .mapGroups { (pm, rows) =>
+        val bf = BloomFilter.create(expectedItemsPerPart, fpp)
+        var n = 0L
+        rows.foreach { r => bf.putLong(r._1); n += 1 }
+        val out = new java.io.FileOutputStream(f"$dir/bloom-$pm%05d.bin")
+        try bf.writeTo(out) finally out.close()
+        (pm, n)
+      }
+      .count(): Unit
+  }
+
+  /** Bloom-prune candidates against the partitioned filters, then confirm
+    * with the exact anti-join. Each task lazily loads only the filters for
+    * the `pm` values it actually holds (a handful per task).
+    */
+  def filterNewPartitionedBloom(
+      candidates: DataFrame,
+      seen: DataFrame,
+      dir: String,
+      parts: Int): DataFrame = {
+    val probe = new PartitionedBloomProbe(dir)
+    val mightContain = udf((pm: Long, h: Long) => probe(pm, h))
+    val maybeSeen = candidates.filter(
+      mightContain(pmod(col("urlHash"), lit(parts.toLong)), col("urlHash")))
+    val definitelyNew = candidates.filter(
+      !mightContain(pmod(col("urlHash"), lit(parts.toLong)), col("urlHash")))
+    definitelyNew.unionAll(filterNewExact(maybeSeen, seen))
+  }
+}
+
+/** Serializable probe: caches loaded per-partition Blooms per executor JVM
+  * (keyed by dir+pm). A missing filter file means the partition holds no
+  * seen keys yet → nothing can be contained.
+  */
+class PartitionedBloomProbe(dir: String) extends ((Long, Long) => Boolean) with Serializable {
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Option[BloomFilter]]()
+  def apply(pm: Long, urlHash: Long): Boolean = {
+    val bf = cache.computeIfAbsent(pm, { p =>
+      val f = new java.io.File(f"$dir/bloom-$p%05d.bin")
+      if (!f.exists()) None
+      else {
+        val in = new java.io.FileInputStream(f)
+        try Some(BloomFilter.readFrom(in)) finally in.close()
+      }
+    })
+    bf.exists(_.mightContainLong(urlHash))
+  }
 }

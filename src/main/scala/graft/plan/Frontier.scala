@@ -134,6 +134,21 @@ object Frontier {
       .option("header", "false")
       .csv(outPath)
 
+  /** Frontier shard scan (SURVEY.md §2#1; MCSpider.py:54-56): headerless
+    * `card_c,trans_c,date` CSV rows, date `dd/MM/yyyy`. `seq` is recovered
+    * from shard structure when reading a [[writeShards]] layout is not
+    * possible (plain files): row order within a file is preserved only
+    * per-partition, so callers needing exact order should read one shard
+    * at a time (as each reference spider instance does).
+    */
+  def readShards(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema("card_c STRING, trans_c STRING, date_text STRING")
+      .csv(path)
+      .select(
+        col("card_c"), col("trans_c"),
+        to_date(col("date_text"), "dd/MM/yyyy").as("date"))
+
   /** Bulk rates ingest (client.py:152-171): header CSV, dates `MM/dd/yyyy`
     * — deliberately a *different* dialect from the frontier shards
     * (SURVEY.md §2#2).

@@ -37,6 +37,25 @@ class DedupSpec extends SparkSpec {
     assert(exact.forall(u => u.contains("new.com") || u.matches(".*p2[0-4][0-9][0-9]|.*p2500")))
   }
 
+  test("partitioned bloom path ≡ exact path (north_rule scale variant)") {
+    val canon = udf((u: String) => Urls.canonicalize(u))
+    val seen = (1 to 3000).map(i => s"http://seen.com/p$i")
+      .toDF("url").select(xxhash64(canon(col("url"))).as("urlHash"), col("url"))
+    val candidates = ((2500 to 3500).map(i => s"http://seen.com/p$i") ++
+      (1 to 50).map(i => s"http://new.com/q$i"))
+      .zipWithIndex.toDF("url", "seq")
+      .select(col("url"), col("seq"), xxhash64(canon(col("url"))).as("urlHash"))
+    val dir = java.nio.file.Files.createTempDirectory("pbloom").toString
+    UrlSeen.buildPartitionedBlooms(seen, dir, parts = 8, expectedItemsPerPart = 1000)
+    val exact = UrlSeen.filterNewExact(candidates, seen).select("url").as[String].collect().toSet
+    val pb = UrlSeen.filterNewPartitionedBloom(candidates, seen, dir, parts = 8)
+      .select("url").as[String].collect().toSet
+    assert(pb === exact)
+    assert(exact.size === 500 + 50)
+    // filter files exist per non-empty partition
+    assert(new java.io.File(dir).listFiles().count(_.getName.startsWith("bloom-")) === 8)
+  }
+
   test("canonical keying: fragment/case/param-order variants collapse to one") {
     val urls = Seq(
       "http://A.com/path?b=2&a=1",

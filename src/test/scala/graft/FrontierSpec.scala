@@ -73,6 +73,24 @@ class FrontierSpec extends SparkSpec {
     assert(sharded.map(_._3).toSeq === Seq(0, 1, 2, 0, 1, 2, 0))
   }
 
+  test("shard write→read round-trip: headerless dd/MM/yyyy dialect") {
+    val currs = Frontier.currencyDim(spark, Seq("GBP", "USD"))
+    val cands = Frontier.candidates(currs, testDate, 8)
+    val missing = Frontier.missing(cands, ratesFixture, providers, "Mastercard", testDate, 8, Seq("GBP", "USD"))
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    Frontier.writeShards(missing, 3, dir)
+    val back = Frontier.readShards(spark, s"$dir/shard=*")
+      .as[(String, String, Date)].collect().map { case (c, t, d) => (c, t, d.toString) }.toSet
+    val expected = missing.select("card_c", "trans_c", "date")
+      .as[(String, String, Date)].collect().map { case (c, t, d) => (c, t, d.toString) }.toSet
+    assert(back === expected)
+    // raw file bytes match the reference row format
+    val firstFile = new java.io.File(s"$dir/shard=0").listFiles()
+      .filter(_.getName.endsWith(".csv")).head
+    val lines = java.nio.file.Files.readAllLines(firstFile.toPath)
+    assert(lines.get(0).matches("""[A-Z]{3},[A-Z]{3},\d{2}/\d{2}/\d{4}"""), lines.get(0))
+  }
+
   test("rates_from_csv dialect: header row + MM/dd/yyyy dates") {
     val dir = java.nio.file.Files.createTempDirectory("ratescsv").toString
     java.nio.file.Files.writeString(
