@@ -98,6 +98,8 @@ object ScalingBench {
       // but here it erases the very parallelism the protocol measures
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.local.dir", sys.env.getOrElse("SPARK_GRAFT_BENCH_TMPDIR", "/tmp"))
+      .config("spark.sql.warehouse.dir",
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_TMPDIR", "/tmp") + "/warehouse-" + cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -120,11 +122,22 @@ object ScalingBench {
       val frontier = BenchWorkload.frontier(spark, nUrls, nHosts, hotPermille)
       // materialize the page table: at production scale pages are a stored
       // Iceberg table, and parquet-backed stats keep Catalyst from trying
-      // to broadcast a multi-GB "estimated tiny" synthetic plan
-      val pagesPath = s"${sys.env.getOrElse("SPARK_GRAFT_BENCH_TMPDIR", "/tmp")}/graft-pages-$nUrls-$nHosts-$hotPermille"
-      if (!Files.exists(Paths.get(pagesPath, "_SUCCESS")))
-        BenchWorkload.pages(frontier).write.mode("overwrite").parquet(pagesPath)
-      val pages = spark.read.parquet(pagesPath)
+      // to broadcast a multi-GB "estimated tiny" synthetic plan.
+      // SPARK_GRAFT_BENCH_BUCKETED=1 stores it BUCKETED BY url (the Iceberg
+      // bucket-transform analogue): the fetch join then shuffles only the
+      // slim frontier side — zero page-body movement per round.
+      val tmp = sys.env.getOrElse("SPARK_GRAFT_BENCH_TMPDIR", "/tmp")
+      val pages =
+        if (sys.env.get("SPARK_GRAFT_BENCH_BUCKETED").contains("1")) {
+          graft.sources.PageStore.writeBucketed(
+            BenchWorkload.pages(frontier), "graft_pages_bucketed", 32)
+          graft.sources.PageStore.read(spark, "graft_pages_bucketed")
+        } else {
+          val pagesPath = s"$tmp/graft-pages-$nUrls-$nHosts-$hotPermille"
+          if (!Files.exists(Paths.get(pagesPath, "_SUCCESS")))
+            BenchWorkload.pages(frontier).write.mode("overwrite").parquet(pagesPath)
+          spark.read.parquet(pagesPath)
+        }
       // generous politeness so the frontier drains in a handful of rounds:
       // the bench measures pipeline throughput, not crawl-delay waiting
       val cfg = PolitenessConfig(

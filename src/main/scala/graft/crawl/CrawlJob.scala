@@ -114,15 +114,18 @@ object CrawlJob {
       case None =>
         (UrlSeen.dedupWithinBatch(frontier0), spark.emptyDataset[HostState])
     }
-    var seenPaths: Seq[String] = resume.map(_._2("seen").split(";").toIndexedSeq.filter(_.nonEmpty)).getOrElse(Nil)
-    var ratesPaths: Seq[String] = resume.map(_._2("rates").split(";").toIndexedSeq.filter(_.nonEmpty)).getOrElse(Nil)
-    var metricsPaths: Seq[String] = resume.map(_._2("metrics").split(";").toIndexedSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    def resumePaths(key: String): Seq[String] =
+      resume.flatMap(_._2.get(key)).map(_.split(";").toIndexedSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    var seenPaths: Seq[String] = resumePaths("seen")
+    var ratesPaths: Seq[String] = resumePaths("rates")
+    var metricsPaths: Seq[String] = resumePaths("metrics")
+    var lineagePaths: Seq[String] = resumePaths("lineage")
     def emptyDf(ddl: String): DataFrame = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL(ddl))
     val RatesDdl = "card_code STRING, trans_code STRING, date DATE, provider_id INT, rate DOUBLE"
     val SeenDdl = "urlHash BIGINT, url STRING"
-    val MetricsDdl = "round INT, host STRING, scheduled BIGINT, dedupDropped BIGINT, robotsDropped BIGINT, errorDropped BIGINT, ratesAppended BIGINT"
+    val MetricsDdl = "round INT, host STRING, scheduled BIGINT, dedupDropped BIGINT, robotsDropped BIGINT, fetchMissed BIGINT, errorDropped BIGINT, extractedOk BIGINT"
     def seenDf: DataFrame =
       if (seenPaths.isEmpty) emptyDf(SeenDdl) else spark.read.parquet(seenPaths: _*)
     def ratesDf: DataFrame =
@@ -147,13 +150,13 @@ object CrawlJob {
       //    Retry rows (retries > 0) BYPASS the dupefilter — Scrapy re-enqueues
       //    retries with dont_filter semantics, and they are in `seen` already.
       val fresh =
-        if (seenPaths.isEmpty) frontier
+        (if (seenPaths.isEmpty) frontier
         else {
           val firstTry = frontier.filter(col("retries") === 0)
           val retries = frontier.filter(col("retries") > 0)
           UrlSeen.filterNewBloom(spark, firstTry, seenDf, expectedItems = math.max(frontierCount, 1000L))
             .unionByName(retries)
-        }
+        }).cache()
       // 2. robots gate; cached — the surviving frontier feeds both the
       //    scheduler and the next-round frontier anti-join
       val allowedF = (if (robotsEmpty) fresh else Robots.allowed(fresh, robots)).cache()
@@ -228,18 +231,26 @@ object CrawlJob {
         .join(sched.select("urlHash", "url"), Seq("urlHash", "url"), "left_anti")
         .unionByName(retryRows)
 
-      // 8. host throttle state + per-round metrics (north_rule lineage)
+      // 8. host throttle state + per-round fetch/dedup metrics
+      //    (north_rule). All aggregations run over slim cached frames.
       val hostStates1 = Scheduler.updateHostStates(sched, hostStates, cfg, round, roundSec)
-      val mcErrDropped = extracted
-        .filter(col("is_err"))
-        .groupBy("host").agg(count(lit(1)).as("errorDropped"))
-      val metricsDelta = sched.groupBy("host").agg(count(lit(1)).as("scheduled"))
-        .join(mcErrDropped, Seq("host"), "left")
+      def perHost(df: DataFrame, as: String): DataFrame =
+        df.groupBy("host").agg(count(lit(1)).as(as))
+      val metricsDelta = perHost(frontier, "entered")
+        .join(perHost(fresh, "postDedup"), Seq("host"), "full_outer")
+        .join(perHost(allowedF, "postRobots"), Seq("host"), "full_outer")
+        .join(perHost(sched, "scheduled"), Seq("host"), "full_outer")
+        .join(perHost(extracted.filter(!col("hit")), "fetchMissed"), Seq("host"), "full_outer")
+        .join(perHost(extracted.filter(col("is_err")), "errorDropped"), Seq("host"), "full_outer")
+        .join(perHost(extracted.filter(col("hit") && !col("is_err")), "extractedOk"), Seq("host"), "full_outer")
         .select(
-          lit(round).as("round"), col("host"), col("scheduled"),
-          lit(0L).as("dedupDropped"), lit(0L).as("robotsDropped"),
+          lit(round).as("round"), col("host"),
+          coalesce(col("scheduled"), lit(0L)).as("scheduled"),
+          (coalesce(col("entered"), lit(0L)) - coalesce(col("postDedup"), lit(0L))).as("dedupDropped"),
+          (coalesce(col("postDedup"), lit(0L)) - coalesce(col("postRobots"), lit(0L))).as("robotsDropped"),
+          coalesce(col("fetchMissed"), lit(0L)).as("fetchMissed"),
           coalesce(col("errorDropped"), lit(0L)).as("errorDropped"),
-          lit(0L).as("ratesAppended"))
+          coalesce(col("extractedOk"), lit(0L)).as("extractedOk"))
 
       // 9. atomic snapshot commit — write data files, then swap manifest.
       //    Append-only tables write only this round's delta; the manifest
@@ -266,12 +277,31 @@ object CrawlJob {
       seenPaths = seenPaths :+ seenPath
       ratesPaths = ratesPaths :+ ratesPath
       metricsPaths = metricsPaths :+ metricsPath
+
+      // per-partition lineage (north_rule): file-granular row counts of
+      // every data file this round committed, written alongside the data —
+      // the manifest-entry content of an Iceberg snapshot. Reading the
+      // just-written slim parquet back is one cheap scan per table.
+      val lineageDelta = Seq(
+        ("frontier", frontierPath), ("seen", seenPath), ("rates", ratesPath))
+        .map { case (name, p) =>
+          spark.read.parquet(p)
+            .groupBy(input_file_name().as("file"))
+            .agg(count(lit(1)).as("rows"))
+            .select(lit(round).as("round"), lit(name).as("table"), col("file"), col("rows"))
+        }
+        .reduce(_ unionAll _)
+      val lineagePath = store.dataPath("lineage", round)
+      lineageDelta.write.mode("overwrite").parquet(lineagePath)
+      lineagePaths = lineagePaths :+ lineagePath
+
       store.commit(round, Map(
         "frontier" -> frontierPath,
         "hostStates" -> hostStatesPath,
         "seen" -> seenPaths.mkString(";"),
         "rates" -> ratesPaths.mkString(";"),
-        "metrics" -> metricsPaths.mkString(";")))
+        "metrics" -> metricsPaths.mkString(";"),
+        "lineage" -> lineagePaths.mkString(";")))
 
       // reload from the committed snapshot: truncates lineage so plans don't
       // grow unboundedly across rounds (the iterative-algorithm idiom)
@@ -280,6 +310,7 @@ object CrawlJob {
       sched.unpersist()
       extracted.unpersist()
       allowedF.unpersist()
+      fresh.unpersist()
       frontierCount = frontier.count()
       if (sys.env.contains("SPARK_GRAFT_VERBOSE"))
         println(f"[crawl] round $round done in ${(System.nanoTime() - tRound) / 1e9}%.1f s; frontier left: $frontierCount")

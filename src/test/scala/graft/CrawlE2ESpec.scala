@@ -124,6 +124,40 @@ class CrawlE2ESpec extends SparkSpec {
     }
   }
 
+  test("metrics record per-host dedup/robots drops; lineage sums match tables") {
+    val currs = Frontier.currencyDim(spark, Seq("GBP", "USD", "EUR"))
+    val seeds = Frontier.candidates(currs, end, 3) // 18 seeds
+    val frontier = CrawlJob.expandSeeds(seeds, "Mastercard")
+    val pages = Synth.mcPages(seeds)
+    // block the fxDate=1995-09-10 URLs via a robots prefix
+    val robots = Seq(("www.mastercard.co.uk", "/settlement/currencyrate/fxDate=1995-09-10", false))
+      .toDF("host", "pathPrefix", "allow")
+    val dir = Files.createTempDirectory("crawlMetrics").toString
+    // budget 6/round: rounds 6,6 over the 12 allowed seeds; robots-dropped
+    // rows leave the frontier in round 1
+    val (rates, seen, metrics) = CrawlJob.run(
+      spark, frontier, pages, robots, dir,
+      PolitenessConfig(maxPerHost = 6), roundSec = 0.75)
+    assert(seen.select("url").distinct().count() === 12)
+    val m = metrics.orderBy("round").collect()
+    val r1 = m.find(_.getAs[Int]("round") == 1).get
+    assert(r1.getAs[Long]("robotsDropped") === 6L) // the 6 blocked-date seeds
+    assert(r1.getAs[Long]("scheduled") === 6L)
+    assert(metrics.agg(sum("scheduled")).collect()(0).getLong(0) === 12L)
+    // dedupDropped: 0 in round 1; rounds 2+ dedup nothing (scheduled rows
+    // left the frontier), so total stays 0 in a clean crawl
+    assert(metrics.agg(sum("dedupDropped")).collect()(0).getLong(0) === 0L)
+    assert(metrics.agg(sum("extractedOk") + sum("errorDropped")).collect()(0).getLong(0) === 12L)
+    // lineage: per-file row counts of each committed delta sum to the tables
+    val store = new graft.checkpoint.SnapshotStore(dir)
+    val man = store.readManifest(store.currentVersion().get)
+    val lineage = spark.read.parquet(man("lineage").split(";").toIndexedSeq: _*)
+    val bySums = lineage.groupBy("table").agg(sum("rows").as("rows"))
+      .as[(String, Long)].collect().toMap
+    assert(bySums("seen") === seen.count())
+    assert(bySums("rates") === rates.count())
+  }
+
   test("duplicate seeds collapse via canonical dedup before scheduling") {
     val currs = Frontier.currencyDim(spark, Seq("GBP", "USD"))
     val seeds = Frontier.candidates(currs, end, 2)

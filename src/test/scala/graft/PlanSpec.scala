@@ -24,6 +24,22 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("bucketed page table: fetch join shuffles only the frontier side") {
+    val currs = Frontier.currencyDim(spark, Seq("GBP", "USD", "EUR"))
+    val seeds = Frontier.candidates(currs, java.time.LocalDate.of(1995, 9, 10), 4)
+    graft.sources.PageStore.writeBucketed(Synth.mcPages(seeds), "pages_bucketed_test", 4)
+    val pages = graft.sources.PageStore.read(spark, "pages_bucketed_test")
+    val sched = CrawlJob.expandSeeds(seeds, "Mastercard")
+    val plan = sched.hint("shuffle_hash")
+      .join(pages.select(col("url"), col("text")), Seq("url"), "left")
+      .queryExecution.executedPlan.toString
+    // exactly one Exchange — the slim frontier side; the bucketed scan
+    // satisfies the join distribution with zero page-body movement
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1, s"expected 1 exchange, got $exchanges in:\n$plan")
+    assert(plan.contains("Bucketed: true"), plan)
+  }
+
   test("missing anti-join pushes provider/date/currency filters to the scan side") {
     import spark.implicits._
     val rates = Seq(("GBP", "USD", java.sql.Date.valueOf("1995-09-07"), 1, 1.0))
