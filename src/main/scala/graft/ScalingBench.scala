@@ -70,7 +70,10 @@ object ScalingBench {
              || bench-N | `local[$nCpu]` | ${fmt(tN)} | ${fmt(wN)} | $rN | — |
              || bench-4N | `local[$n4Cpu]` | ${fmt(t4)} | ${fmt(w4)} | $r4 | ${"%.3f".format(eff)} (target ≥ 0.8) |
              |""".stripMargin
-        Files.writeString(Paths.get("BENCH/BASELINE.md"), md)
+        // SCALING_REPORT.md: the mechanical best-of table; BENCH/BASELINE.md
+        // is the curated round report (methodology + calibration) — never
+        // clobbered by this tool
+        Files.writeString(Paths.get("BENCH/SCALING_REPORT.md"), md)
         println(
           s"""{"metric":"crawl_urls_per_sec","localN":{"cpus":$nCpu,"urls_per_sec":${tN.round}},"local4N":{"cpus":$n4Cpu,"urls_per_sec":${t4.round}},"scaling_efficiency":${"%.3f".format(eff)},"urls":$nUrls}""")
       case Some(cpusArg) =>
