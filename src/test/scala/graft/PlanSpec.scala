@@ -55,6 +55,13 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("card_code IN") || plan.contains("card_code#"))
   }
 
+  test("q01's shipdate filter reaches the lineitem parquet scan") {
+    val plan = SparkEntry.queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), plan)
+    assert(!plan.contains("l_orderkey"), "scan must not read unprojected columns")
+  }
+
   test("parquet scan prunes columns to the projection") {
     val dir = java.nio.file.Files.createTempDirectory("prune").toString
     import spark.implicits._
