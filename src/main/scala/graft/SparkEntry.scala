@@ -403,9 +403,8 @@ object SparkEntry {
         PolitenessConfig(maxPerHost = 8), roundSec = 1.0)
       val store = new graft.checkpoint.SnapshotStore(ckpt)
       val deltas = store.readManifest(store.currentVersion().get)("seen").split(";")
-      val canon = udf((u: String) => graft.urls.Urls.canonicalize(u))
       val urlSeq = CrawlJob.expandSeeds(seeds, "Mastercard")
-        .select(canon(col("url")).as("url"), col("seq"))
+        .select(col("canonUrl").as("url"), col("seq"))
       val perRound = deltas.zipWithIndex.map { case (p, i) =>
         s.read.parquet(p).select(col("url"), lit(i + 1).as("round"))
       }.reduce(_ unionAll _)

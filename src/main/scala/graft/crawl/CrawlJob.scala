@@ -55,19 +55,20 @@ object CrawlJob {
     }
     seeds
       .withColumn("url", url)
-      .withColumn("urlHash", xxhash64(canonicalUdf(col("url"))))
+      .withColumn("canonUrl", canonicalUdf(col("url"))) // computed ONCE, carried as data
+      .withColumn("urlHash", xxhash64(col("canonUrl")))
       .withColumn("host", hostUdf(col("url")))
       .withColumn("provider", lit(provider))
       .withColumn("priority", lit(0))
       .withColumn("retries", lit(0))
-      .select("url", "urlHash", "host", "card_c", "trans_c", "date", "provider", "priority", "seq", "retries")
+      .select("url", "canonUrl", "urlHash", "host", "card_c", "trans_c", "date", "provider", "priority", "seq", "retries")
   }
 
   private def emptyFrontier(spark: SparkSession): DataFrame =
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL(
-        "url STRING, urlHash BIGINT, host STRING, card_c STRING, trans_c STRING, " +
+        "url STRING, canonUrl STRING, urlHash BIGINT, host STRING, card_c STRING, trans_c STRING, " +
         "date DATE, provider STRING, priority INT, seq BIGINT, retries INT"))
 
   final case class RoundResult(
@@ -186,7 +187,7 @@ object CrawlJob {
       //    pages are dropped (not stored), Visa parse misses store a null
       //    rate (reference parity). The text column is gone after this.
       val extracted = fetched.select(
-        col("url"), col("urlHash"), col("host"), col("card_c"), col("trans_c"), col("date"),
+        col("url"), col("canonUrl"), col("urlHash"), col("host"), col("card_c"), col("trans_c"), col("date"),
         col("provider"), col("priority"), col("seq"), col("retries"),
         providerId.as("provider_id"),
         col("text").isNotNull.as("hit"),
@@ -219,16 +220,16 @@ object CrawlJob {
       //    frontier1 derives from allowedF). Fetch misses re-enter at
       //    priority-1 with retries+1, capped at maxRetries (Scrapy's retry
       //    middleware defaults, SURVEY.md §2#30).
-      val seenDelta = sched.select(col("urlHash"), canonicalUdf(col("url")).as("url"))
+      val seenDelta = sched.select(col("urlHash"), col("canonUrl").as("url"))
       val retryRows = extracted
         .filter(!col("hit") && col("retries") < maxRetries)
         .select(
-          col("url"), col("urlHash"), col("host"), col("card_c"), col("trans_c"),
+          col("url"), col("canonUrl"), col("urlHash"), col("host"), col("card_c"), col("trans_c"),
           col("date"), col("provider"),
           (col("priority") - 1).as("priority"), col("seq"),
           (col("retries") + 1).as("retries"))
       val frontier1 = allowedF
-        .join(sched.select("urlHash", "url"), Seq("urlHash", "url"), "left_anti")
+        .join(sched.select("urlHash", "canonUrl"), Seq("urlHash", "canonUrl"), "left_anti")
         .unionByName(retryRows)
 
       // 8. host throttle state + per-round fetch/dedup metrics

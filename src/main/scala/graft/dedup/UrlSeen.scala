@@ -27,22 +27,25 @@ object UrlSeen {
 
   /** First-occurrence within-batch dedup: among rows sharing a canonical
     * URL keep the lowest `seq` (Scrapy drops later duplicates; order is
-    * data, SURVEY.md §2#29). Window by URL — parallel per key, no
-    * global sort.
+    * data, SURVEY.md §2#29). Window by canonical URL — parallel per key,
+    * no global sort. Dedup identity is ALWAYS the canonical form: raw
+    * variants (fragment, case, query-param order) are the same request.
     */
-  def dedupWithinBatch(batch: DataFrame, urlCol: String = "url", seqCol: String = "seq"): DataFrame = {
+  def dedupWithinBatch(batch: DataFrame, urlCol: String = "canonUrl", seqCol: String = "seq"): DataFrame = {
     val w = Window.partitionBy(col(urlCol)).orderBy(col(seqCol))
     batch.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
   /** Exact cross-round dedup: candidates not present in the seen set.
-    * Joins on the 64-bit hash first (narrow shuffle), confirms on the URL
-    * itself so a hash collision can never drop a genuinely-new URL.
+    * Joins on the 64-bit hash first (narrow shuffle), confirms on the
+    * CANONICAL URL so a hash collision can never drop a genuinely-new URL —
+    * and a raw-form variant of a seen URL can never sneak back in (the seen
+    * table stores canonical URLs).
     */
   def filterNewExact(candidates: DataFrame, seen: DataFrame): DataFrame =
     candidates.join(
       seen.select(col("urlHash").as("__sh"), col("url").as("__su")),
-      candidates("urlHash") === col("__sh") && candidates("url") === col("__su"),
+      candidates("urlHash") === col("__sh") && candidates("canonUrl") === col("__su"),
       "left_anti")
 
   /** Bloom-pruned dedup: broadcast Bloom over the seen hashes drops the

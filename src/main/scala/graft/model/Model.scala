@@ -35,6 +35,7 @@ final case class SeedCombo(card_c: String, trans_c: String, date: Date)
   */
 final case class FrontierEntry(
     url: String,
+    canonUrl: String,
     urlHash: Long,
     host: String,
     card_c: String,

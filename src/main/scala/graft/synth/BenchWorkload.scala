@@ -26,7 +26,8 @@ object BenchWorkload {
       .otherwise(concat(lit("host-"), pmod(xxhash64(col("id")), lit(nHosts.toLong)), lit(".example.com")))
     ids
       .withColumn("url", concat(lit("https://"), host, lit("/rates/page-"), col("id")))
-      .withColumn("urlHash", xxhash64(canonicalUdf(col("url"))))
+      .withColumn("canonUrl", canonicalUdf(col("url")))
+      .withColumn("urlHash", xxhash64(col("canonUrl")))
       .withColumn("host", host)
       .withColumn("card_c", concat(lit("C"), col("id").cast("string")))
       .withColumn("trans_c", lit("USD"))
@@ -35,7 +36,7 @@ object BenchWorkload {
       .withColumn("priority", lit(0))
       .withColumn("seq", col("id"))
       .withColumn("retries", lit(0))
-      .select("url", "urlHash", "host", "card_c", "trans_c", "date", "provider", "priority", "seq", "retries")
+      .select("url", "canonUrl", "urlHash", "host", "card_c", "trans_c", "date", "provider", "priority", "seq", "retries")
   }
 
   /** MC-JSON pages for every frontier URL (same body shape the extractor

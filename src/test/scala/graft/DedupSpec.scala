@@ -15,20 +15,24 @@ class DedupSpec extends SparkSpec {
     val batch = Seq(
       ("http://a.com/x", 5L), ("http://a.com/x", 2L), ("http://a.com/x", 9L),
       ("http://a.com/y", 7L))
-      .toDF("url", "seq")
+      .toDF("canonUrl", "seq")
     val out = UrlSeen.dedupWithinBatch(batch).as[(String, Long)].collect().toSet
     assert(out === Set(("http://a.com/x", 2L), ("http://a.com/y", 7L)))
   }
 
+  private val canon = udf((u: String) => Urls.canonicalize(u))
+
+  /** candidate frame with the frontier's canonical identity columns */
+  private def candidatesOf(urls: Seq[String]) =
+    urls.zipWithIndex.toDF("url", "seq")
+      .select(col("url"), col("seq"), canon(col("url")).as("canonUrl"))
+      .withColumn("urlHash", xxhash64(col("canonUrl")))
+
   test("bloom-pruned dedup returns exactly the exact-anti-join result") {
-    val canon = udf((u: String) => Urls.canonicalize(u))
     val seen = (1 to 2000).map(i => s"http://seen.com/p$i")
-      .toDF("url").select(xxhash64(canon(col("url"))).as("urlHash"), col("url"))
-    val candidates = ((1500 to 2500).map(i => s"http://seen.com/p$i") ++
+      .toDF("url").select(xxhash64(canon(col("url"))).as("urlHash"), canon(col("url")).as("url"))
+    val candidates = candidatesOf((1500 to 2500).map(i => s"http://seen.com/p$i") ++
       (1 to 100).map(i => s"http://new.com/q$i"))
-      .zipWithIndex
-      .toDF("url", "seq")
-      .select(col("url"), col("seq"), xxhash64(canon(col("url"))).as("urlHash"))
     val exact = UrlSeen.filterNewExact(candidates, seen).select("url").as[String].collect().toSet
     val bloom = UrlSeen.filterNewBloom(spark, candidates, seen, expectedItems = 2000)
       .select("url").as[String].collect().toSet
@@ -38,13 +42,10 @@ class DedupSpec extends SparkSpec {
   }
 
   test("partitioned bloom path ≡ exact path (north_rule scale variant)") {
-    val canon = udf((u: String) => Urls.canonicalize(u))
     val seen = (1 to 3000).map(i => s"http://seen.com/p$i")
-      .toDF("url").select(xxhash64(canon(col("url"))).as("urlHash"), col("url"))
-    val candidates = ((2500 to 3500).map(i => s"http://seen.com/p$i") ++
+      .toDF("url").select(xxhash64(canon(col("url"))).as("urlHash"), canon(col("url")).as("url"))
+    val candidates = candidatesOf((2500 to 3500).map(i => s"http://seen.com/p$i") ++
       (1 to 50).map(i => s"http://new.com/q$i"))
-      .zipWithIndex.toDF("url", "seq")
-      .select(col("url"), col("seq"), xxhash64(canon(col("url"))).as("urlHash"))
     val dir = java.nio.file.Files.createTempDirectory("pbloom").toString
     UrlSeen.buildPartitionedBlooms(seen, dir, parts = 8, expectedItemsPerPart = 1000)
     val exact = UrlSeen.filterNewExact(candidates, seen).select("url").as[String].collect().toSet
@@ -61,13 +62,27 @@ class DedupSpec extends SparkSpec {
       "http://A.com/path?b=2&a=1",
       "http://a.com/path?a=1&b=2#frag",
       "HTTP://a.com:80/path?b=2&a=1").zipWithIndex
-    val canon = udf((u: String) => Urls.canonicalize(u))
     val df = urls.toDF("url", "seq")
-      .withColumn("curl", canon(col("url")))
-      .withColumn("urlHash", xxhash64(col("curl")))
+      .withColumn("canonUrl", canon(col("url")))
+      .withColumn("urlHash", xxhash64(col("canonUrl")))
     assert(df.select("urlHash").distinct().count() === 1)
-    val kept = UrlSeen.dedupWithinBatch(df.withColumn("url", col("curl")))
+    val kept = UrlSeen.dedupWithinBatch(df)
     assert(kept.count() === 1)
     assert(kept.select("seq").as[Int].head() === 0)
+  }
+
+  test("cross-round raw-form variants are deduped (canonical identity)") {
+    // the seen set stores CANONICAL urls; a later candidate with a
+    // different raw form (fragment) of a seen url must be dropped
+    val seen = Seq("http://a.com/page?x=1&y=2")
+      .toDF("url").select(xxhash64(canon(col("url"))).as("urlHash"), canon(col("url")).as("url"))
+    val candidates = candidatesOf(Seq(
+      "http://A.com/page?y=2&x=1#frag", // raw variant of the seen url
+      "http://a.com/other"))
+    val exact = UrlSeen.filterNewExact(candidates, seen).select("url").as[String].collect().toSet
+    assert(exact === Set("http://a.com/other"))
+    val bloom = UrlSeen.filterNewBloom(spark, candidates, seen, expectedItems = 10)
+      .select("url").as[String].collect().toSet
+    assert(bloom === exact)
   }
 }

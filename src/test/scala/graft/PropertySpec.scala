@@ -49,8 +49,8 @@ class PropertySpec extends SparkSpec {
 
   test("property: within-batch dedup output has unique urls, keeps min seq") {
     Iterator.continually(frontierGen.sample).flatten.take(12).foreach { rows =>
-      val f = rows.toDF("host", "url", "priority", "seq")
-      val out = UrlSeen.dedupWithinBatch(f).select("url", "seq").as[(String, Long)].collect()
+      val f = rows.toDF("host", "canonUrl", "priority", "seq")
+      val out = UrlSeen.dedupWithinBatch(f).select("canonUrl", "seq").as[(String, Long)].collect()
       assert(out.map(_._1).distinct.length === out.length)
       val minSeq = rows.groupBy(_._2).view.mapValues(_.map(_._4).min).toMap
       out.foreach { case (u, s) => assert(s === minSeq(u), s"kept non-first for $u") }
@@ -68,7 +68,8 @@ class PropertySpec extends SparkSpec {
         .toDF("url").select(xxhash64(col("url")).as("urlHash"), col("url"))
       val cands = ((0 until overlap).map(i => s"http://s.com/$i") ++
         (0 until candN).map(i => s"http://n.com/$i")).zipWithIndex
-        .toDF("url", "seq").select(col("url"), col("seq"), xxhash64(col("url")).as("urlHash"))
+        .toDF("url", "seq")
+        .select(col("url"), col("seq"), col("url").as("canonUrl"), xxhash64(col("url")).as("urlHash"))
       val out = UrlSeen.filterNewBloom(spark, cands, seen, expectedItems = math.max(seenN, 10).toLong)
         .select("url").as[String].collect().toSet
       val expectedNew = (0 until candN).map(i => s"http://n.com/$i").toSet ++
