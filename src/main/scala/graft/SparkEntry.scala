@@ -387,6 +387,21 @@ object SparkEntry {
         .toDF.orderBy("media_id")
     }),
 
+    "q32_setops" -> ((s, dir) => {
+      // union / intersect / except surface (absent in the reference,
+      // SURVEY §2 "Absent" row — engine completeness)
+      val bigSpenders = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey").as("custkey"))
+      val machinery = t(s, dir, "customer").filter(col("c_mktsegment") === "MACHINERY")
+        .select(col("c_custkey").as("custkey"))
+      val u = bigSpenders.union(machinery).distinct().withColumn("op", lit("union"))
+      val i = bigSpenders.intersect(machinery).withColumn("op", lit("intersect"))
+      val e = bigSpenders.distinct().except(machinery).withColumn("op", lit("except"))
+      u.unionAll(i).unionAll(e)
+        .groupBy("op").agg(count(lit(1)).as("n"), sum("custkey").as("key_sum"))
+        .orderBy("op")
+    }),
+
     "q31_crawl_order" -> ((s, _) => {
       // end-to-end scheduling-order parity under the DuckDB gate: a 3-round
       // crawl (18 seeds, budget 8/host/round) must consume seeds in
@@ -603,7 +618,19 @@ object SparkEntry {
          seeds AS (SELECT pair_idx * 3 + d AS seq
                    FROM pairs CROSS JOIN range(3) t(d))
          SELECT seq, CAST(floor(seq / 8) + 1 AS INT) AS round
-         FROM seeds ORDER BY seq""")
+         FROM seeds ORDER BY seq""",
+
+    "q32_setops" ->
+      """WITH big AS (SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000),
+         mach AS (SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'MACHINERY'),
+         ops AS (
+           SELECT 'union' AS op, custkey FROM (SELECT DISTINCT custkey FROM (SELECT custkey FROM big UNION ALL SELECT custkey FROM mach))
+           UNION ALL
+           SELECT 'intersect' AS op, custkey FROM (SELECT custkey FROM big INTERSECT SELECT custkey FROM mach)
+           UNION ALL
+           SELECT 'except' AS op, custkey FROM (SELECT DISTINCT custkey FROM big EXCEPT SELECT custkey FROM mach))
+         SELECT op, count(*) AS n, CAST(sum(custkey) AS BIGINT) AS key_sum
+         FROM ops GROUP BY op ORDER BY op""")
 
   /** Golden URL VALUES oracles: expected strings produced by the byte-exact
     * pure builders (unit-tested against the reference's Python output).
