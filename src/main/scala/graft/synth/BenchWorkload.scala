@@ -14,7 +14,6 @@ import graft.urls.Urls
   */
 object BenchWorkload {
 
-  private val hostUdf = udf((u: String) => Urls.hostOf(u))
   private val canonicalUdf = udf((u: String) => Urls.canonicalize(u))
 
   /** Frontier rows ready for CrawlJob.run. Unique (card, trans, date) keys

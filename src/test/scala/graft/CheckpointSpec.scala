@@ -66,6 +66,26 @@ class CheckpointSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("resume rebuilds missing bloom state (legacy checkpoint) and stays exact") {
+    val (frontier, pages, robots) = smallCrawlInputs()
+    val dirA = Files.createTempDirectory("crawlBloomA").toString
+    val (ratesA, seenA, _) = CrawlJob.run(spark, frontier, pages, robots, dirA, cfg, roundSec = 1.25)
+
+    val dirB = Files.createTempDirectory("crawlBloomB").toString
+    CrawlJob.run(spark, frontier, pages, robots, dirB, cfg, roundSec = 1.25, maxRounds = 2)
+    // simulate a legacy/damaged checkpoint: wipe the filter directory
+    val bloomDir = new java.io.File(s"$dirB/blooms")
+    bloomDir.listFiles().foreach(_.delete())
+    bloomDir.delete()
+    val (ratesB, seenB, _) = CrawlJob.run(spark, frontier, pages, robots, dirB, cfg, roundSec = 1.25)
+
+    assert(seenA.select("url").as[String].collect().toSet ===
+      seenB.select("url").as[String].collect().toSet)
+    assert(ratesA.count() === ratesB.count())
+    // seen stays exact: no URL fetched twice despite the rebuilt filters
+    assert(seenB.count() === seenB.select("urlHash").distinct().count())
+  }
+
   test("rounds advance the snapshot version; resume continues numbering") {
     val (frontier, pages, robots) = smallCrawlInputs()
     val dir = Files.createTempDirectory("crawlV").toString

@@ -158,6 +158,36 @@ class CrawlE2ESpec extends SparkSpec {
     assert(bySums("rates") === rates.count())
   }
 
+  test("offsite filter: off-domain frontier rows dropped, counted, never seen") {
+    val currs = Frontier.currencyDim(spark, Seq("GBP", "USD"))
+    val seeds = Frontier.candidates(currs, end, 2) // 4 seeds
+    val onsite = CrawlJob.expandSeeds(seeds, "Mastercard")
+    // 2 off-domain rows that would otherwise be fetched
+    val offsite = onsite
+      .withColumn("url", regexp_replace(col("url"), "www\\.mastercard\\.co\\.uk", "evil.example.com"))
+      .withColumn("host", lit("evil.example.com"))
+      .withColumn("canonUrl", udf((u: String) => graft.urls.Urls.canonicalize(u)).apply(col("url")))
+      .withColumn("urlHash", xxhash64(col("canonUrl")))
+      .withColumn("seq", col("seq") + 100L)
+      .limit(2)
+    val frontier = onsite.unionByName(offsite)
+    val pages = Synth.mcPages(seeds)
+    val robots = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL("host STRING, pathPrefix STRING, allow BOOLEAN"))
+    val dir = Files.createTempDirectory("crawlOffsite").toString
+    val (_, seen, metrics) = CrawlJob.run(
+      spark, frontier, pages, robots, dir, PolitenessConfig(),
+      allowedDomains = Seq("mastercard.co.uk"))
+    // off-domain rows: dropped, counted, absent from seen
+    assert(seen.count() === 4)
+    assert(seen.filter(col("url").contains("evil")).count() === 0)
+    assert(metrics.agg(sum("offsiteDropped")).collect()(0).getLong(0) === 2L)
+    val byHost = metrics.groupBy("host").agg(sum("offsiteDropped").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byHost("evil.example.com") === 2L)
+  }
+
   test("duplicate seeds collapse via canonical dedup before scheduling") {
     val currs = Frontier.currencyDim(spark, Seq("GBP", "USD"))
     val seeds = Frontier.candidates(currs, end, 2)

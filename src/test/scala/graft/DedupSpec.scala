@@ -54,7 +54,67 @@ class DedupSpec extends SparkSpec {
     assert(pb === exact)
     assert(exact.size === 500 + 50)
     // filter files exist per non-empty partition
-    assert(new java.io.File(dir).listFiles().count(_.getName.startsWith("bloom-")) === 8)
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".bin")) === 8)
+  }
+
+  private def seenOf(urls: Seq[String]) =
+    urls.toDF("url").select(xxhash64(canon(col("url"))).as("urlHash"), canon(col("url")).as("url"))
+
+  test("incremental per-round merge ≡ exact over multiple rounds (crawl-loop shape)") {
+    val dir = java.nio.file.Files.createTempDirectory("ibloom").toString
+    val parts = 8
+    var seenUrls = Seq.empty[String]
+    // 3 rounds: each merges ONLY its delta, then the probe must equal exact
+    for (r <- 1 to 3) {
+      val deltaUrls = ((r - 1) * 1000 + 1 to r * 1000).map(i => s"http://seen.com/p$i")
+      val delta = seenOf(deltaUrls)
+      seenUrls = seenUrls ++ deltaUrls
+      val seen = seenOf(seenUrls)
+      UrlSeen.mergeDeltaIntoPartitionedBlooms(delta, seen, dir, parts, capacityPerPart = 4096)
+      // candidates: overlap with all rounds so far + genuinely new
+      val candidates = candidatesOf(
+        seenUrls.take(50) ++ seenUrls.takeRight(50) ++
+          (1 to 40).map(i => s"http://new$r.com/q$i"))
+      val exact = UrlSeen.filterNewExact(candidates, seen).select("url").as[String].collect().toSet
+      val pb = UrlSeen.filterNewPartitionedBloom(candidates, seen, dir, parts)
+        .select("url").as[String].collect().toSet
+      assert(pb === exact, s"round $r")
+      assert(exact.size === 40)
+    }
+  }
+
+  test("saturated partitions rebuild at doubled capacity; probe stays exact") {
+    val dir = java.nio.file.Files.createTempDirectory("sbloom").toString
+    val parts = 4
+    var seenUrls = Seq.empty[String]
+    for (r <- 1 to 4) {
+      val deltaUrls = ((r - 1) * 400 + 1 to r * 400).map(i => s"http://x.com/s$i")
+      seenUrls = seenUrls ++ deltaUrls
+      // tiny capacity forces the saturation path from round 2 on
+      UrlSeen.mergeDeltaIntoPartitionedBlooms(
+        seenOf(deltaUrls), seenOf(seenUrls), dir, parts, capacityPerPart = 16)
+    }
+    // sidecar capacities must have grown past the initial deltas
+    val caps = (0L until parts).map(pm => UrlSeen.readSidecarStatic(dir, pm))
+    assert(caps.forall { case (cap, n) => n >= cap / 4 && cap >= n },
+      s"capacity must bound count after rebuilds: $caps")
+    assert(caps.map(_._2).sum === 1600L)
+    val seen = seenOf(seenUrls)
+    val candidates = candidatesOf(seenUrls.take(100) ++ (1 to 30).map(i => s"http://fresh.com/f$i"))
+    val exact = UrlSeen.filterNewExact(candidates, seen).select("url").as[String].collect().toSet
+    val pb = UrlSeen.filterNewPartitionedBloom(candidates, seen, dir, parts)
+      .select("url").as[String].collect().toSet
+    assert(pb === exact)
+    assert(exact.size === 30)
+  }
+
+  test("bloom ROUND marker round-trips") {
+    val dir = java.nio.file.Files.createTempDirectory("mbloom").toString
+    assert(UrlSeen.readBloomRound(dir) === None)
+    UrlSeen.writeBloomRound(dir, 7)
+    assert(UrlSeen.readBloomRound(dir) === Some(7))
+    UrlSeen.writeBloomRound(dir, 8)
+    assert(UrlSeen.readBloomRound(dir) === Some(8))
   }
 
   test("canonical keying: fragment/case/param-order variants collapse to one") {

@@ -33,4 +33,34 @@ class MultimodalSpec extends SparkSpec {
     assert(out.count() === 3)
     assert(out.columns.toSet === media.columns.toSet)
   }
+
+  test("repartitionByBytes truly balances bytes under pathological skew") {
+    import org.apache.spark.sql.functions._
+    // 200 tiny rows (~20 B) + 4 fat rows (~50 KB): row-count balancing
+    // would put all fat rows wherever their hash lands; byte balancing
+    // must bound every partition at target + maxRowBytes
+    val rows = (1L to 200L).map(i => (i, "t" * 20)) ++
+      (1L to 4L).map(i => (1000L + i, "F" * 50000))
+    val media = rows.toDF("media_id", "txt")
+      .select(col("media_id"), encode(col("txt"), "UTF-8").as("content"))
+    val target = 60000L
+    val out = Multimodal.repartitionByBytes(media, target)
+    assert(out.count() === 204)
+    val perPart = out
+      .select(length(col("content")).cast("long").as("b"))
+      .withColumn("p", spark_partition_id())
+      .groupBy("p").agg(sum("b").as("bytes"))
+      .collect().map(_.getAs[Long]("bytes"))
+    val maxRow = 50000L
+    assert(perPart.max <= target + maxRow,
+      s"partition exceeds target+maxRow: ${perPart.mkString(",")}")
+    // the fat rows cannot all land in one partition
+    assert(perPart.count(_ >= maxRow) >= 2)
+  }
+
+  test("repartitionByBytes: empty input returns unchanged") {
+    import org.apache.spark.sql.functions._
+    val empty = Seq.empty[(Long, Array[Byte])].toDF("media_id", "content")
+    assert(Multimodal.repartitionByBytes(empty, 1024).count() === 0L)
+  }
 }

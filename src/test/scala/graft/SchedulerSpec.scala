@@ -44,12 +44,38 @@ class SchedulerSpec extends SparkSpec {
       (1 to 10).map(i => ("cold.com", s"c$i", 0, (1000 + i).toLong))
     val f = frontier(rows: _*)
     val states = spark.emptyDataset[HostState].toDF
-    val big = cfg.copy(maxPerHost = 50)
+    val big = cfg.copy(maxPerHost = 50, maxGlobal = Int.MaxValue)
     val out = Scheduler.scheduleRound(f, states, big, roundSec = 100.0)
       .select("host", "seq").as[(String, Long)].collect()
     val hot = out.filter(_._1 == "hot.com").map(_._2).sorted
     assert(hot.toSeq === (1L to 50L)) // exactly the 50 lowest seqs
     assert(out.count(_._1 == "cold.com") === 10)
+  }
+
+  test("global cap: 10 hosts × budget 3 with maxGlobal=5 schedules the 5 lowest seqs") {
+    // reference CONCURRENT_REQUESTS=50 (settings.py:25) generalized: at most
+    // maxGlobal fetches per round across ALL hosts, by (priority desc, seq)
+    val rows = for (h <- 1 to 10; i <- 1 to 4)
+      yield (s"h$h.com", s"u$h-$i", 0, (h * 10 + i).toLong)
+    val f = frontier(rows: _*)
+    val states = spark.emptyDataset[HostState].toDF
+    val out = Scheduler.scheduleRound(f, states, cfg.copy(maxGlobal = 5), roundSec = 10.0)
+      .select("seq").as[Long].collect().sorted.toSeq
+    // per-host stage keeps seqs {h*10+1..3} per host; global stage keeps the
+    // 5 smallest across hosts: 11,12,13,21,22
+    assert(out === Seq(11L, 12L, 13L, 21L, 22L))
+  }
+
+  test("global cap: priority outranks seq across hosts; MaxValue disables") {
+    val f = frontier(
+      ("a.com", "a1", 0, 1L), ("a.com", "a2", 0, 2L),
+      ("b.com", "b1", 5, 100L), ("c.com", "c1", 1, 50L))
+    val states = spark.emptyDataset[HostState].toDF
+    val capped = Scheduler.scheduleRound(f, states, cfg.copy(maxGlobal = 2), roundSec = 10.0)
+      .select("url").as[String].collect().toSet
+    assert(capped === Set("b1", "c1")) // highest priorities win globally
+    val uncapped = Scheduler.scheduleRound(f, states, cfg.copy(maxGlobal = Int.MaxValue), roundSec = 10.0)
+    assert(uncapped.count() === 4)
   }
 
   test("host state update: AutoThrottle AIMD converges toward latency/target") {
