@@ -350,7 +350,7 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
-    // ---- rows-only entries (non-SQL-expressible; covered by ScalaTest) --
+    // ---- formerly rows-only entries, now under the DuckDB gate ----------
     "q26_doc_langid" -> ((s, dir) => {
       import graft.functions.TextFns
       t(s, dir, "documents")
@@ -359,32 +359,65 @@ object SparkEntry {
     }),
 
     "q27_doc_minhash_pairs" -> ((s, dir) => {
-      // near-dup candidates over the documents table (vocab overlap only —
-      // the synthetic docs share a small vocabulary, so low threshold)
-      graft.dedup.DocDedup.minhashPairs(
-        t(s, dir, "documents").filter(col("doc_id") < 200), threshold = 0.5)
+      // planted exact duplicates (q24 technique): an identical copy agrees
+      // with its source on every minhash band, so LSH must surface exactly
+      // the 5 planted pairs at signature agreement 1.0 — a golden oracle
+      // for the full shingle→signature→band→bucket-join pipeline
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val planted = docs.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 20000).as("doc_id"), col("text"))
+      graft.dedup.DocDedup.minhashPairs(docs.unionByName(planted), threshold = 0.9)
+        .filter(col("id_a") < 20000 && col("id_b") >= 20000)
         .orderBy("id_a", "id_b")
     }),
 
     "q28_doc_simhash" -> ((s, dir) => {
+      // md5-derived token hashes → the DuckDB oracle recomputes the full
+      // 64-bit signature bit-for-bit (emitted as unsigned hex)
       t(s, dir, "documents")
-        .select(col("doc_id"), graft.dedup.DocDedup.simhash(col("text")).as("simhash"))
+        .select(col("doc_id"),
+          format_string("%016x", graft.dedup.DocDedup.simhash(col("text"))).as("simhash_hex"))
         .orderBy("doc_id")
     }),
 
     "q29_doc_fingerprint" -> ((s, dir) => {
       import graft.functions.TextFns
+      // md5 hash mode: the winnowing window-min selection is recomputed
+      // verbatim by the DuckDB oracle (see TextFns.fingerprintUdf scaladoc)
       t(s, dir, "documents")
-        .select(col("doc_id"), size(TextFns.fingerprint(col("text"))).as("n_fingerprints"))
+        .select(col("doc_id"),
+          size(TextFns.fingerprint(col("text"), hashKind = "md5")).as("n_fingerprints"))
         .orderBy("doc_id")
     }),
 
     "q30_media_features" -> ((s, dir) => {
       // multimodal plumbing: binary content + metadata → batch feature
-      // extraction with the stubbed decoder (see Multimodal scaladoc)
+      // extraction with the stubbed decoder (see Multimodal scaladoc).
+      // Projects the oracle-recomputable columns (the docs are ASCII, so
+      // byte values = code points on the DuckDB side).
       graft.multimodal.Multimodal.extractFeatures(
         graft.multimodal.Multimodal.syntheticMedia(t(s, dir, "documents")))
-        .toDF.orderBy("media_id")
+        .toDF
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          round(col("mean_luma"), 4).as("mean_luma"), col("frames_sampled"))
+        .orderBy("media_id")
+    }),
+
+    "q33_region_revenue" -> ((s, dir) => {
+      // multi-way join (TPC-H Q5 shape): fact × supplier × 2 broadcast dims
+      // with a selective region filter — the dims are broadcast explicitly
+      // (plan-asserted in PlanSpec) so the fact side shuffles only for the
+      // supplier equi-join + final aggregate
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
     }),
 
     "q32_setops" -> ((s, dir) => {
@@ -414,17 +447,14 @@ object SparkEntry {
         s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL("host STRING, pathPrefix STRING, allow BOOLEAN"))
       val ckpt = java.nio.file.Files.createTempDirectory("graft-order").toString
-      CrawlJob.run(s, frontier, pages, robots, ckpt,
+      val (_, seen, _) = CrawlJob.run(s, frontier, pages, robots, ckpt,
         PolitenessConfig(maxPerHost = 8), roundSec = 1.0)
-      val store = new graft.checkpoint.SnapshotStore(ckpt)
-      val deltas = store.readManifest(store.currentVersion().get)("seen").split(";")
       val urlSeq = CrawlJob.expandSeeds(seeds, "Mastercard")
         .select(col("canonUrl").as("url"), col("seq"))
-      val perRound = deltas.zipWithIndex.map { case (p, i) =>
-        s.read.parquet(p).select(col("url"), lit(i + 1).as("round"))
-      }.reduce(_ unionAll _)
-      perRound.join(urlSeq, Seq("url"))
-        .select(col("seq"), col("round").cast("int").as("round"))
+      // the round number rides on every seen row as data (survives delta
+      // compaction), so the schedule order reads straight off the table
+      seen.join(urlSeq, Seq("url"))
+        .select(col("seq"), col("round"))
         .orderBy("seq")
     }))
 
@@ -606,6 +636,100 @@ object SparkEntry {
       """SELECT query_id, vec_id, cosine FROM (VALUES
            (0, 0, 1.0), (1, 1, 1.0), (2, 2, 1.0))
          t(query_id, vec_id, cosine) ORDER BY query_id""",
+
+    // q26: the DuckDB oracle re-derives the stopword-ratio scores and the
+    // argmax (ties → first profile, all-zero → 'und') from the same public
+    // stopword lists; the CASE chain is equivalent to langId's strict-> fold
+    "q26_doc_langid" -> {
+      val profiles = graft.functions.TextFns.LangProfiles
+      val langs = profiles.map(_._1)
+      val scores = profiles.map { case (lang, words) =>
+        val list = words.map(w => s"'$w'").mkString(", ")
+        s"CAST(len(list_filter(tk, x -> list_contains([$list], x))) AS DOUBLE) / greatest(len(tk), 1) AS s_$lang"
+      }.mkString(", ")
+      val allZero = langs.map(l => s"s_$l <= 0").mkString(" AND ")
+      val caseChain = langs.init.zipWithIndex.map { case (l, i) =>
+        s"WHEN ${langs.drop(i + 1).map(r => s"s_$l >= s_$r").mkString(" AND ")} THEN '$l'"
+      }.mkString(" ")
+      s"""WITH toks AS (SELECT doc_id, lang,
+            string_split_regex(lower(trim(text)), '\\s+') AS tk FROM documents),
+          scored AS (SELECT doc_id, lang, $scores FROM toks)
+          SELECT doc_id,
+                 CASE WHEN $allZero THEN 'und' $caseChain
+                      ELSE '${langs.last}' END AS pred_lang,
+                 lang
+          FROM scored ORDER BY doc_id"""
+    },
+
+    "q27_doc_minhash_pairs" ->
+      // golden planted-duplicate pairs: identical docs agree on all 64
+      // minhash values, so est_jaccard is exactly 1.0 and every band buckets
+      // the pair together (recall 1 by construction)
+      """SELECT id_a, id_b, est_jaccard FROM (VALUES
+           (0, 20000, 1.0), (1, 20001, 1.0), (2, 20002, 1.0),
+           (3, 20003, 1.0), (4, 20004, 1.0))
+         t(id_a, id_b, est_jaccard) ORDER BY id_a""",
+
+    "q28_doc_simhash" ->
+      // full bit-for-bit SimHash recomputation: token hash = first 16 hex
+      // chars of md5 (big-endian), per-bit ±1 vote over ALL tokens (dups
+      // included), sign → bit, emitted as unsigned hex
+      """WITH tok AS (
+           SELECT doc_id, unnest(list_filter(
+             string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS t
+           FROM documents),
+         th AS (SELECT doc_id, ('0x' || substr(md5(t),1,16))::UBIGINT AS h FROM tok),
+         bits AS (SELECT doc_id, i,
+                         sum(CASE WHEN (h >> CAST(i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS c
+                  FROM th CROSS JOIN (SELECT unnest(range(64)) AS i) GROUP BY doc_id, i),
+         sh AS (SELECT doc_id,
+                       CAST(sum(CASE WHEN c > 0 THEN (1::UBIGINT << CAST(i AS INT))
+                                     ELSE 0::UBIGINT END) AS UBIGINT) AS v
+                FROM bits GROUP BY doc_id)
+         SELECT doc_id, lower(lpad(to_hex(v),16,'0')) AS simhash_hex
+         FROM sh ORDER BY doc_id""",
+
+    "q29_doc_fingerprint" ->
+      // winnowing selection recomputed verbatim: 60-bit md5 k-gram hashes
+      // (k=9), min per non-overlapping window of 16, distinct count
+      """WITH h AS (
+           SELECT doc_id,
+             CASE WHEN length(text) < 9 THEN CAST([] AS UBIGINT[])
+             ELSE list_transform(range(length(text)-9+1),
+                  i -> ('0x'||substr(md5(substr(text, CAST(i AS INT)+1, 9)),1,15))::UBIGINT) END AS hs
+           FROM documents),
+         sel AS (
+           SELECT doc_id,
+             CASE WHEN len(hs) < 16 THEN CAST([] AS UBIGINT[])
+             ELSE list_transform(range((len(hs)-16)//16 + 1),
+                  w -> list_min(list_slice(hs, CAST(w AS INT)*16+1, CAST(w AS INT)*16+16))) END AS mins
+           FROM h)
+         SELECT doc_id, CAST(len(list_distinct(mins)) AS INT) AS n_fingerprints
+         FROM sel ORDER BY doc_id""",
+
+    "q30_media_features" ->
+      // the synthetic media fixture and the stub decoder are both exactly
+      // recomputable: content = UTF-8 of ASCII text (bytes = code points),
+      // kind = doc_id % 3, luma = mean byte, frames = 1 + bytes/1024
+      """SELECT doc_id AS media_id,
+           ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           round(CAST(list_sum(list_transform(range(strlen(text)),
+                 i -> unicode(substr(text, CAST(i AS INT)+1, 1)))) AS DOUBLE)
+                 / strlen(text), 4) AS mean_luma,
+           CAST(1 + strlen(text) // 1024 AS INT) AS frames_sampled
+         FROM documents ORDER BY media_id""",
+
+    "q33_region_revenue" ->
+      """SELECT n_name,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         count(*) AS n_items
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+         GROUP BY n_name ORDER BY n_name""",
 
     "q31_crawl_order" ->
       // the oracle re-derives BOTH the itertools.product seed order

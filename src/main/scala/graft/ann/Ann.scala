@@ -91,10 +91,14 @@ object Ann {
     */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String = "vec_id",
       threshold: Double = 0.95, bits: Int = 12, tables: Int = 4,
-      maxBucket: Int = 2000): DataFrame = {
+      maxBucket: Int = 2000, logDropped: Boolean = true): DataFrame = {
     val bucketed = corpus.select(
       col(idCol).as("id"), col("embedding"),
       explodedBuckets("embedding", bits, tables).as("bucket"))
+    // the cap is never silent: dropped coverage is counted and reported
+    if (logDropped)
+      graft.dedup.DocDedup.reportDroppedCoverage(
+        "cosineNearDupPairs", bucketed, Seq("bucket"), maxBucket)
     val w = Window.partitionBy("bucket").orderBy("id")
     val capped = bucketed.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= maxBucket).drop("__rn")
     val a = capped.select(col("bucket"), col("id").as("id_a"), col("embedding").as("emb_a"))

@@ -110,7 +110,8 @@ object CrawlJob {
       maxRetries: Int = 2,
       allowedDomains: Seq[String] = Nil,
       bloomParts: Int = 32,
-      bloomCapacityPerPart: Long = 1L << 18): (DataFrame, DataFrame, DataFrame) = {
+      bloomCapacityPerPart: Long = 1L << 18,
+      compactEvery: Int = 64): (DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
     val store = new SnapshotStore(checkpointDir)
     val bloomDir = s"$checkpointDir/blooms"
@@ -139,7 +140,7 @@ object CrawlJob {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL(ddl))
     val RatesDdl = "card_code STRING, trans_code STRING, date DATE, provider_id INT, rate DOUBLE"
-    val SeenDdl = "urlHash BIGINT, url STRING"
+    val SeenDdl = "urlHash BIGINT, url STRING, round INT"
     val MetricsDdl = "round INT, host STRING, scheduled BIGINT, dedupDropped BIGINT, offsiteDropped BIGINT, robotsDropped BIGINT, fetchMissed BIGINT, errorDropped BIGINT, extractedOk BIGINT"
     def seenDf: DataFrame =
       if (seenPaths.isEmpty) emptyDf(SeenDdl) else spark.read.parquet(seenPaths: _*)
@@ -259,7 +260,9 @@ object CrawlJob {
       //    frontier1 derives from allowedF). Fetch misses re-enter at
       //    priority-1 with retries+1, capped at maxRetries (Scrapy's retry
       //    middleware defaults, SURVEY.md §2#30).
-      val seenDelta = sched.select(col("urlHash"), col("canonUrl").as("url"))
+      // the round number travels as DATA in the seen rows (not as a path
+      // position), so per-round provenance survives delta compaction
+      val seenDelta = sched.select(col("urlHash"), col("canonUrl").as("url"), lit(round).as("round"))
       val retryRows = extracted
         .filter(!col("hit") && col("retries") < maxRetries)
         .select(
@@ -345,6 +348,29 @@ object CrawlJob {
       val lineagePath = store.dataPath("lineage", round)
       lineageDelta.write.mode("overwrite").parquet(lineagePath)
       lineagePaths = lineagePaths :+ lineagePath
+
+      // periodic delta-chain compaction (Iceberg rewrite-data-files
+      // analogue): every `compactEvery` rounds each append-only chain is
+      // rewritten as ONE fileset and the manifest shortened — otherwise a
+      // long crawl re-lists/reopens thousands of delta paths per round.
+      // Amortized O(total/compactEvery) per round; old files stay on disk
+      // (prior snapshots remain readable), and a crash before the commit
+      // just leaves the previous manifest pointing at the uncompacted chain.
+      // Per-round provenance is preserved because every append-only row
+      // carries its `round` as data.
+      if (compactEvery > 0 && round % compactEvery == 0) {
+        def compact(name: String, paths: Seq[String]): Seq[String] =
+          if (paths.size <= 1) paths
+          else {
+            val p = store.dataPath(s"$name-compacted", round)
+            spark.read.parquet(paths: _*).write.mode("overwrite").parquet(p)
+            Seq(p)
+          }
+        seenPaths = compact("seen", seenPaths)
+        ratesPaths = compact("rates", ratesPaths)
+        metricsPaths = compact("metrics", metricsPaths)
+        lineagePaths = compact("lineage", lineagePaths)
+      }
 
       store.commit(round, Map(
         "frontier" -> frontierPath,

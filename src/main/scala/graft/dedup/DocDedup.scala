@@ -11,8 +11,8 @@ import org.apache.spark.sql.functions._
   * (signature) keys — candidate generation never compares all pairs.
   * At 100 TB the expensive step is the self-join inside LSH buckets;
   * bucket sizes are capped (`maxBucket`) so a degenerate bucket (boilerplate
-  * shingles) cannot produce a quadratic blowup — the cap is logged as a
-  * dropped-coverage metric by callers, never silently.
+  * shingles) cannot produce a quadratic blowup — the capped methods count
+  * and print the dropped-coverage rows themselves, never silently.
   */
 object DocDedup {
 
@@ -64,6 +64,22 @@ object DocDedup {
     * (band, bucket) → self-pair within bucket (capped) → dedup pairs →
     * verify on signature agreement (the MinHash Jaccard estimate).
     */
+  /** Count + report rows dropped by a bucket-size cap — a coverage loss
+    * that must never be silent (pairs inside an over-cap bucket are simply
+    * not compared). One cheap extra aggregation over the bucket keys.
+    */
+  private[graft] def reportDroppedCoverage(
+      op: String, bucketed: DataFrame, keyCols: Seq[String], maxBucket: Int): Unit = {
+    val dropped = bucketed
+      .groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket)
+      .agg(coalesce(sum(col("n") - maxBucket), lit(0L)))
+      .collect()(0).getLong(0)
+    if (dropped > 0)
+      System.err.println(
+        s"[graft] $op: bucket cap $maxBucket dropped $dropped candidate rows (coverage loss)")
+  }
+
   def minhashPairs(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -71,14 +87,17 @@ object DocDedup {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.7,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000,
+      logDropped: Boolean = true): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sigs = docs
       .select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
       .select(col("id"), col("sig"), explode(lshBuckets(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-    // cap pathological buckets (boilerplate): keep the maxBucket lowest ids
+    // cap pathological buckets (boilerplate): keep the maxBucket lowest ids;
+    // the cap is NEVER silent — dropped coverage is counted and reported
+    if (logDropped) reportDroppedCoverage("minhashPairs", sigs, Seq("band", "bucket"), maxBucket)
     val w = Window.partitionBy("band", "bucket").orderBy("id")
     val capped = sigs.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= maxBucket).drop("__rn")
     val a = capped.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
@@ -97,6 +116,24 @@ object DocDedup {
 
   // ------------------------------------------------------------- simhash
 
+  /** First 8 bytes of md5(s) as a big-endian 64-bit value — the token-hash
+    * family used for SimHash. MD5 (not xxhash/murmur) so independent engines
+    * can recompute the signatures bit-for-bit: the DuckDB correctness oracle
+    * derives the same value as `('0x' || substr(md5(t),1,16))::UBIGINT`.
+    */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private[graft] def md5Long64(s: String): Long = {
+    val d = md5Local.get().digest(s.getBytes("UTF-8")) // digest() resets
+    var h = 0L
+    var j = 0
+    while (j < 8) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+    h
+  }
+
   /** 64-bit SimHash over word tokens: per bit, sum +1/-1 weighted by token
     * hash bit; sign → bit. Expressed as a Scala UDF over the token array
     * (bit-twiddling per token × 64 bits is cheaper in one tight loop than
@@ -105,8 +142,7 @@ object DocDedup {
   val simhashUdf = udf((toks: Seq[String]) => {
     val counts = new Array[Int](64)
     toks.foreach { t =>
-      var h = scala.util.hashing.MurmurHash3.stringHash(t).toLong & 0xffffffffL
-      h = h * 0x9e3779b97f4a7c15L // spread to 64 bits
+      val h = md5Long64(t)
       var i = 0
       while (i < 64) {
         if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
@@ -125,9 +161,16 @@ object DocDedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs within `maxHamming`: block on 4 16-bit chunks
-    * (pigeonhole: distance ≤ 3 ⇒ at least one chunk equal), self-join per
-    * chunk, verify exact Hamming.
+  /** SimHash near-dup pairs within `maxHamming`: block on 4 16-bit chunks,
+    * self-join per chunk, verify exact Hamming.
+    *
+    * Recall contract: the pigeonhole bound guarantees every pair with
+    * distance < 4 shares a chunk (found with certainty); pairs between 4 and
+    * `maxHamming` are returned when they happen to share a chunk —
+    * best-effort, as in the standard 64-bit/4-block SimHash dedup design
+    * (Manku et al., WWW'07 use distance 3 for 8B pages). Raising certainty
+    * beyond 3 requires more, narrower chunks, whose small keys explode
+    * bucket sizes — a deliberate recall/cost trade.
     */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       maxHamming: Int = 3): DataFrame = {

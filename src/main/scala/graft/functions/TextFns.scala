@@ -95,27 +95,50 @@ object TextFns {
 
   // ---------------------------------------------------------- fingerprint
 
-  /** Winnowing-style document fingerprint: polynomial rolling hash over
-    * character k-grams, keep the minimum hash per window — a compact
-    * near-dup signature (k=9, window=16; Schleimer et al., SIGMOD'03).
-    * Deterministic; returns a sorted distinct array of selected hashes.
+  /** Winnowing-style document fingerprint: hash every character k-gram,
+    * keep the minimum hash per window — a compact near-dup signature
+    * (k=9, window=16; Schleimer et al., SIGMOD'03). Deterministic; returns
+    * a sorted distinct array of selected hashes.
+    *
+    * Two k-gram hash families, same selection semantics:
+    *  - "poly" (default): polynomial rolling hash, O(1) per position — the
+    *    production hot path.
+    *  - "md5": top 60 bits of md5(gram), big-endian — O(k) per position but
+    *    recomputable by any engine (the DuckDB oracle derives the identical
+    *    value as `('0x'||substr(md5(g),1,15))::UBIGINT`), which puts the
+    *    window-min selection logic under the cross-engine correctness gate.
+    *    60 bits (not 64) so the values are non-negative and signed/unsigned
+    *    MIN comparisons agree across engines.
     */
-  val fingerprintUdf = udf((text: String, k: Int, window: Int) => {
+  val fingerprintUdf = udf((text: String, k: Int, window: Int, hashKind: String) => {
     if (text == null || text.length < k) Array.empty[Long]
     else {
       val n = text.length - k + 1
       val hashes = new Array[Long](n)
-      val B = 1000000007L
-      var h = 0L
-      var pow = 1L
-      var i = 0
-      while (i < k) { h = h * B + text.charAt(i); if (i < k - 1) pow = pow * B; i += 1 }
-      hashes(0) = h
-      i = 1
-      while (i < n) {
-        h = (h - text.charAt(i - 1) * pow) * B + text.charAt(i + k - 1)
-        hashes(i) = h
-        i += 1
+      if (hashKind == "md5") {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        var i = 0
+        while (i < n) {
+          val d = md.digest(text.substring(i, i + k).getBytes("UTF-8"))
+          var h = 0L
+          var j = 0
+          while (j < 8) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+          hashes(i) = h >>> 4 // top 60 bits = first 15 hex chars of md5
+          i += 1
+        }
+      } else {
+        val B = 1000000007L
+        var h = 0L
+        var pow = 1L
+        var i = 0
+        while (i < k) { h = h * B + text.charAt(i); if (i < k - 1) pow = pow * B; i += 1 }
+        hashes(0) = h
+        i = 1
+        while (i < n) {
+          h = (h - text.charAt(i - 1) * pow) * B + text.charAt(i + k - 1)
+          hashes(i) = h
+          i += 1
+        }
       }
       val selected = scala.collection.mutable.SortedSet.empty[Long]
       var w = 0
@@ -130,6 +153,6 @@ object TextFns {
     }
   })
 
-  def fingerprint(text: Column, k: Int = 9, window: Int = 16): Column =
-    fingerprintUdf(text, lit(k), lit(window))
+  def fingerprint(text: Column, k: Int = 9, window: Int = 16, hashKind: String = "poly"): Column =
+    fingerprintUdf(text, lit(k), lit(window), lit(hashKind))
 }

@@ -64,7 +64,7 @@ object Multimodal {
           r.media_id, r.kind,
           if (r.content == null) 0L else r.content.length.toLong,
           scala.util.hashing.MurmurHash3.bytesHash(if (r.content == null) Array.empty else r.content).toLong,
-          math.round(luma * 10000.0) / 10000.0,
+          luma, // raw IEEE mean — callers round for display/compare
           frames)
       }
     }
@@ -78,8 +78,10 @@ object Multimodal {
     import docs.sparkSession.implicits._
     docs.select(
       col("doc_id").as("media_id"),
+      // kind keyed on doc_id % 3 (not a hash) so an independent engine can
+      // re-derive it — part of the q30 cross-engine oracle contract
       element_at(array(lit("image"), lit("audio"), lit("video")),
-        (pmod(xxhash64(col("doc_id")), lit(3L)) + 1).cast("int")).as("kind"),
+        (pmod(col("doc_id"), lit(3L)) + 1).cast("int")).as("kind"),
       encode(col("text"), "UTF-8").as("content"),
       lit("application/octet-stream").as("mime"),
       (pmod(xxhash64(col("doc_id"), lit("w")), lit(1920L)) + 1).cast("int").as("width"),

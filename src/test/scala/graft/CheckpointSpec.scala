@@ -86,6 +86,32 @@ class CheckpointSpec extends SparkSpec {
     assert(seenB.count() === seenB.select("urlHash").distinct().count())
   }
 
+  test("delta compaction: state identical, manifest bounded, resume across boundary") {
+    val (frontier, pages, robots) = smallCrawlInputs()
+    // A: never compacts; B: compacts every 2 rounds AND is interrupted right
+    // after a compaction boundary, then resumed — 48 seeds / 10 per round
+    val dirA = Files.createTempDirectory("compA").toString
+    val (ratesA, seenA, metricsA) =
+      CrawlJob.run(spark, frontier, pages, robots, dirA, cfg, roundSec = 1.25, compactEvery = 0)
+    val dirB = Files.createTempDirectory("compB").toString
+    CrawlJob.run(spark, frontier, pages, robots, dirB, cfg, roundSec = 1.25,
+      maxRounds = 2, compactEvery = 2)
+    val (ratesB, seenB, metricsB) =
+      CrawlJob.run(spark, frontier, pages, robots, dirB, cfg, roundSec = 1.25, compactEvery = 2)
+
+    assert(ratesA.orderBy("card_code", "trans_code", "date").collect().map(_.toString).toSeq ===
+      ratesB.orderBy("card_code", "trans_code", "date").collect().map(_.toString).toSeq)
+    // per-round provenance survives compaction (round travels as data)
+    assert(seenA.select("url", "round").collect().map(_.toString).sorted.toSeq ===
+      seenB.select("url", "round").collect().map(_.toString).sorted.toSeq)
+    assert(metricsA.count() === metricsB.count())
+    // the manifest's seen chain is bounded: ≤ compactEvery paths, not 5
+    val store = new SnapshotStore(dirB)
+    val man = store.readManifest(store.currentVersion().get)
+    assert(man("seen").split(";").length <= 2,
+      s"seen chain not compacted: ${man("seen")}")
+  }
+
   test("rounds advance the snapshot version; resume continues numbering") {
     val (frontier, pages, robots) = smallCrawlInputs()
     val dir = Files.createTempDirectory("crawlV").toString

@@ -15,7 +15,9 @@ class DocDedupSpec extends SparkSpec {
       val words = (0 until 30).map(j => s"w${i}x${(i * 31 + j * 7) % 97}t$j")
       (i.toLong, words.mkString(" "))
     }
-    val nearDup = (100L, distinct(0)._2.replace("w0x0t0", "changed"))
+    // "alt2" chosen so the md5-simhash distance of pair (0,100) is 2 — inside
+    // the 4-chunk pigeonhole guarantee (hamming ≤ 3) that simhashPairs blocks on
+    val nearDup = (100L, distinct(0)._2.replace("w0x0t0", "alt2"))
     val exactDup = (101L, distinct(1)._2)
     (distinct :+ nearDup :+ exactDup).toDF("doc_id", "text")
   }
@@ -50,13 +52,25 @@ class DocDedupSpec extends SparkSpec {
     val byId = sigs.as[(Long, Long)].collect().toMap
     assert(byId(1L) === byId(101L))
     val nearDist = java.lang.Long.bitCount(byId(0L) ^ byId(100L))
-    assert(nearDist <= 16, s"near-dup simhash distance $nearDist")
+    assert(nearDist === 2, s"near-dup simhash distance $nearDist")
     // unrelated docs sit near the random baseline (~32 bits)
     assert(java.lang.Long.bitCount(byId(2L) ^ byId(3L)) > 16)
-    val pairs = DocDedup.simhashPairs(docs, maxHamming = 16)
+    // within the pigeonhole guarantee (hamming ≤ 3 with 4 chunks) both the
+    // exact dup (distance 0) and the near-dup (distance 2) MUST be found
+    val pairs = DocDedup.simhashPairs(docs, maxHamming = 3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 101L)))
     assert(pairs.contains((0L, 100L)))
+    // and nothing else: unrelated docs are far apart
+    assert(pairs === Set((1L, 101L), (0L, 100L)))
+  }
+
+  test("md5Long64 matches the cross-engine anchor value") {
+    // DuckDB: SELECT ('0x' || substr(md5('abc'),1,16))::UBIGINT
+    //         = 10376663631224000432 = -8070080442485551184 as signed 64-bit.
+    // This anchors the q28 simhash oracle's token-hash family.
+    assert(DocDedup.md5Long64("abc") === -8070080442485551184L)
+    assert(DocDedup.md5Long64("") === java.lang.Long.parseUnsignedLong("d41d8cd98f00b204", 16))
   }
 
   test("shingles: k consecutive tokens, distinct, short-doc fallback") {

@@ -72,6 +72,15 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("ReadSchema: struct<k:bigint,v:double>"), plan)
   }
 
+  test("q33 multi-way join broadcasts both dims; no shuffle of the fact for them") {
+    val plan = SparkEntry.queries("q33_region_revenue")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // nation and region joins must be broadcast-hash, never sort-merge
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 2, s"expected ≥2 BroadcastHashJoin (nation, region) in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"dims must not sort-merge:\n$plan")
+  }
+
   test("robots gate plan contains a broadcast join, not a shuffle of the frontier") {
     import spark.implicits._
     val frontier = (1 to 100).map(i => ("h.com", s"https://h.com/p$i", 0, i.toLong))

@@ -35,9 +35,10 @@ class RetrySpec extends SparkSpec {
     assert(rates.count() === 4 - errs)
     assert(rates.filter(col("card_code") === "EUR").count() === 0)
     // the 2 missing URLs were scheduled 3 times each (1 try + 2 retries):
-    // seen rows 4 + 3·2 = 10, distinct urls 6
+    // seen rows 4 + 3·2 = 10, distinct urls 6 (rows differ by round — the
+    // round number rides on each seen row as data)
     assert(seen.count() === 10)
-    assert(seen.distinct().count() === 6)
+    assert(seen.select("urlHash", "url").distinct().count() === 6)
     // exactly 3 rounds happened
     assert(new graft.checkpoint.SnapshotStore(dir).currentVersion() === Some(3))
   }
