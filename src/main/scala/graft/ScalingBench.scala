@@ -130,15 +130,27 @@ object ScalingBench {
       // bucket-transform analogue): the fetch join then shuffles only the
       // slim frontier side — zero page-body movement per round.
       val tmp = sys.env.getOrElse("SPARK_GRAFT_BENCH_TMPDIR", "/tmp")
+      // fault injection (SPARK_GRAFT_BENCH_MISS_PERMILLE=k): k‰ of frontier
+      // URLs have NO page — each such URL is retried twice at priority-1
+      // then dropped, exercising the retry/requeue path at bench scale
+      val missPermille = sys.env.getOrElse("SPARK_GRAFT_BENCH_MISS_PERMILLE", "0").toInt
+      val pageFrontier =
+        if (missPermille == 0) frontier
+        else frontier.filter(
+          org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.xxhash64(
+              org.apache.spark.sql.functions.col("url"),
+              org.apache.spark.sql.functions.lit("miss")),
+            org.apache.spark.sql.functions.lit(1000L)) >= missPermille)
       val pages =
         if (sys.env.get("SPARK_GRAFT_BENCH_BUCKETED").contains("1")) {
           graft.sources.PageStore.writeBucketed(
-            BenchWorkload.pages(frontier), "graft_pages_bucketed", 32)
+            BenchWorkload.pages(pageFrontier), "graft_pages_bucketed", 32)
           graft.sources.PageStore.read(spark, "graft_pages_bucketed")
         } else {
-          val pagesPath = s"$tmp/graft-pages-$nUrls-$nHosts-$hotPermille"
+          val pagesPath = s"$tmp/graft-pages-$nUrls-$nHosts-$hotPermille-m$missPermille"
           if (!Files.exists(Paths.get(pagesPath, "_SUCCESS")))
-            BenchWorkload.pages(frontier).write.mode("overwrite").parquet(pagesPath)
+            BenchWorkload.pages(pageFrontier).write.mode("overwrite").parquet(pagesPath)
           spark.read.parquet(pagesPath)
         }
       // generous politeness so the frontier drains in a handful of rounds:

@@ -190,7 +190,11 @@ object CrawlJob {
         else {
           val firstTry = frontier.filter(col("retries") === 0)
           val retries = frontier.filter(col("retries") > 0)
-          UrlSeen.filterNewPartitionedBloom(firstTry, seenDf, bloomDir, bloomParts)
+          // smallProbe: the bloom-pruned probe set is at most frontier-sized,
+          // so below the broadcast-safety bound the seen table is scanned
+          // once and never shuffled (see filterNewPartitionedBloom)
+          UrlSeen.filterNewPartitionedBloom(firstTry, seenDf, bloomDir, bloomParts,
+            smallProbe = frontierCount <= 5000000L)
             .unionByName(retries)
         }).cache()
       // 2. offsite filter (allowed_domains) then robots gate; cached — the

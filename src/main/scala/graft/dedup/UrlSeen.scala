@@ -226,21 +226,48 @@ object UrlSeen {
   }
 
   /** Bloom-prune candidates against the partitioned filters, then confirm
-    * with the exact anti-join. Each task lazily loads only the filters for
-    * the `pm` values it actually holds (a handful per task).
+    * exactly. Each task lazily loads only the filters for the `pm` values
+    * it actually holds (a handful per task).
+    *
+    * Exact confirm, two shapes:
+    *  - `smallProbe = true` (the crawl-loop case — the bloom-pruned probe
+    *    set is genuinely-seen rows + ~fpp of the new ones, i.e. frontier-
+    *    sized or smaller): the seen table is SCANNED once and never
+    *    shuffled — a left-semi join against a broadcast of the probe set
+    *    yields the (small) confirmed-seen keys, which are then broadcast-
+    *    anti-joined back. Per-round cost: one columnar seen scan + two
+    *    broadcasts of probe-set size. The default shuffle anti-join would
+    *    instead EXCHANGE the whole seen set every round — the quadratic
+    *    term this path exists to avoid.
+    *  - `smallProbe = false` (probe set too big to broadcast): classic
+    *    shuffled anti-join via [[filterNewExact]].
     */
   def filterNewPartitionedBloom(
       candidates: DataFrame,
       seen: DataFrame,
       dir: String,
-      parts: Int): DataFrame = {
+      parts: Int,
+      smallProbe: Boolean = true): DataFrame = {
     val probe = new PartitionedBloomProbe(dir)
     val mightContain = udf((pm: Long, h: Long) => probe(pm, h))
     val maybeSeen = candidates.filter(
       mightContain(pmod(col("urlHash"), lit(parts.toLong)), col("urlHash")))
     val definitelyNew = candidates.filter(
       !mightContain(pmod(col("urlHash"), lit(parts.toLong)), col("urlHash")))
-    definitelyNew.unionAll(filterNewExact(maybeSeen, seen))
+    val newFromMaybe =
+      if (!smallProbe) filterNewExact(maybeSeen, seen)
+      else {
+        val confirmedSeen = seen
+          .join(
+            broadcast(maybeSeen.select(col("urlHash").as("__ph"), col("canonUrl").as("__pu"))),
+            col("urlHash") === col("__ph") && col("url") === col("__pu"), "left_semi")
+          .select(col("urlHash").as("__sh"), col("url").as("__su"))
+        maybeSeen.join(
+          broadcast(confirmedSeen),
+          maybeSeen("urlHash") === col("__sh") && maybeSeen("canonUrl") === col("__su"),
+          "left_anti")
+      }
+    definitelyNew.unionAll(newFromMaybe)
   }
 }
 

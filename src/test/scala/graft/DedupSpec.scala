@@ -78,7 +78,10 @@ class DedupSpec extends SparkSpec {
       val exact = UrlSeen.filterNewExact(candidates, seen).select("url").as[String].collect().toSet
       val pb = UrlSeen.filterNewPartitionedBloom(candidates, seen, dir, parts)
         .select("url").as[String].collect().toSet
-      assert(pb === exact, s"round $r")
+      assert(pb === exact, s"round $r (broadcast-confirm path)")
+      val pbShuffle = UrlSeen.filterNewPartitionedBloom(candidates, seen, dir, parts, smallProbe = false)
+        .select("url").as[String].collect().toSet
+      assert(pbShuffle === exact, s"round $r (shuffle-confirm path)")
       assert(exact.size === 40)
     }
   }

@@ -81,6 +81,26 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"dims must not sort-merge:\n$plan")
   }
 
+  test("partitioned-bloom confirm scans seen once, never shuffles it (smallProbe)") {
+    import spark.implicits._
+    val canon = udf((u: String) => graft.urls.Urls.canonicalize(u))
+    val seenDir = java.nio.file.Files.createTempDirectory("pbplan").toString
+    val seen = (1 to 500).map(i => s"http://s.com/p$i").toDF("url")
+      .select(xxhash64(canon(col("url"))).as("urlHash"), canon(col("url")).as("url"))
+    graft.dedup.UrlSeen.buildPartitionedBlooms(seen, s"$seenDir/blooms", parts = 4, 1000)
+    val candidates = (400 to 600).map(i => s"http://s.com/p$i").toDF("url")
+      .withColumn("canonUrl", canon(col("url")))
+      .withColumn("urlHash", xxhash64(col("canonUrl")))
+    val plan = graft.dedup.UrlSeen
+      .filterNewPartitionedBloom(candidates, seen, s"$seenDir/blooms", 4)
+      .queryExecution.executedPlan.toString
+    // exact confirm must run as broadcast joins of the probe set — the seen
+    // table is scanned, never exchanged (the O(seen)-shuffle-per-round trap)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"seen side must not shuffle:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("robots gate plan contains a broadcast join, not a shuffle of the frontier") {
     import spark.implicits._
     val frontier = (1 to 100).map(i => ("h.com", s"https://h.com/p$i", 0, i.toLong))
