@@ -55,8 +55,20 @@ object Bench {
     val all = results :+ (s"crawl_${crawlUrls}_urls" -> crawlSec)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + "%.3f".format(v) }
       .mkString("{", ",", "}")
+    // full JSON string escape incl. control chars — exception messages carry
+    // newlines, which would break the one-line JSON contract exactly when a
+    // failure needs reporting
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val errJson = errors
-      .map { case (k, v) => "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
+      .map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
     val urlsPerSec = (crawlUrls / crawlSec).round

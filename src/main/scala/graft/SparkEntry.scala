@@ -363,11 +363,14 @@ object SparkEntry {
       // with its source on every minhash band, so LSH must surface exactly
       // the 5 planted pairs at signature agreement 1.0 — a golden oracle
       // for the full shingle→signature→band→bucket-join pipeline
+      // planted ids offset by 2^40 — far above any real doc_id at any SF,
+      // so the id-range filter can never admit real-real pairs
+      val off = 1L << 40
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val planted = docs.filter(col("doc_id") < 5)
-        .select((col("doc_id") + 20000).as("doc_id"), col("text"))
+        .select((col("doc_id") + off).as("doc_id"), col("text"))
       graft.dedup.DocDedup.minhashPairs(docs.unionByName(planted), threshold = 0.9)
-        .filter(col("id_a") < 20000 && col("id_b") >= 20000)
+        .filter(col("id_a") < off && col("id_b") >= off)
         .orderBy("id_a", "id_b")
     }),
 
@@ -666,8 +669,8 @@ object SparkEntry {
       // minhash values, so est_jaccard is exactly 1.0 and every band buckets
       // the pair together (recall 1 by construction)
       """SELECT id_a, id_b, est_jaccard FROM (VALUES
-           (0, 20000, 1.0), (1, 20001, 1.0), (2, 20002, 1.0),
-           (3, 20003, 1.0), (4, 20004, 1.0))
+           (0, 1099511627776, 1.0), (1, 1099511627777, 1.0), (2, 1099511627778, 1.0),
+           (3, 1099511627779, 1.0), (4, 1099511627780, 1.0))
          t(id_a, id_b, est_jaccard) ORDER BY id_a""",
 
     "q28_doc_simhash" ->

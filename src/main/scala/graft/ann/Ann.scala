@@ -95,12 +95,14 @@ object Ann {
     val bucketed = corpus.select(
       col(idCol).as("id"), col("embedding"),
       explodedBuckets("embedding", bits, tables).as("bucket"))
-    // the cap is never silent: dropped coverage is counted and reported
-    if (logDropped)
-      graft.dedup.DocDedup.reportDroppedCoverage(
-        "cosineNearDupPairs", bucketed, Seq("bucket"), maxBucket)
+    // the cap is never silent: dropped coverage is observed on the same job
     val w = Window.partitionBy("bucket").orderBy("id")
-    val capped = bucketed.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= maxBucket).drop("__rn")
+    val ranked = bucketed.withColumn("__rn", row_number().over(w))
+    val observed =
+      if (logDropped)
+        graft.dedup.DocDedup.withDroppedObserver("cosineNearDupPairs", ranked, "__rn", maxBucket)
+      else ranked
+    val capped = observed.filter(col("__rn") <= maxBucket).drop("__rn")
     val a = capped.select(col("bucket"), col("id").as("id_a"), col("embedding").as("emb_a"))
     val b = capped.select(col("bucket"), col("id").as("id_b"), col("embedding").as("emb_b"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))

@@ -30,10 +30,17 @@ object CrawlJob {
   /** xxhash64 over the canonical URL — the dedup key (north_rule). */
   private val canonicalUdf = udf((u: String) => Urls.canonicalize(u))
 
-  /** Host column — built-in `parse_url` (codegen-friendly) instead of a
-    * Scala UDF; lowercased to match [[Urls.hostOf]] politeness keying.
+  private val hostOfUdf = udf((u: String) => Urls.hostOf(u))
+
+  /** Host column — built-in `parse_url` (codegen-friendly) with a
+    * [[Urls.hostOf]] UDF fallback: `parse_url` follows java.net.URI and
+    * returns NULL for hosts URI rejects (e.g. underscores, common in the
+    * wild), which would collapse those rows into one NULL politeness bucket
+    * and break the offsite filter. Coalesce evaluates the UDF only on the
+    * rare NULL rows, so the hot path stays codegen.
     */
-  def hostCol(url: Column): Column = lower(parse_url(url, lit("HOST")))
+  def hostCol(url: Column): Column =
+    coalesce(lower(parse_url(url, lit("HOST"))), hostOfUdf(url))
 
   /** Expand seed combos (card_c, trans_c, date, seq) into frontier rows for
     * one provider, building the byte-exact provider URL (SURVEY.md §2#35-36)
@@ -190,11 +197,13 @@ object CrawlJob {
         else {
           val firstTry = frontier.filter(col("retries") === 0)
           val retries = frontier.filter(col("retries") > 0)
-          // smallProbe: the bloom-pruned probe set is at most frontier-sized,
-          // so below the broadcast-safety bound the seen table is scanned
-          // once and never shuffled (see filterNewPartitionedBloom)
+          // smallProbe: the bloom-pruned probe set is at most frontier-sized
+          // (frontierCount is the conservative upper bound for it), so below
+          // the broadcast-safety bound (~2M rows ≈ low hundreds of MB of
+          // (hash, url)) the seen table is scanned once and never shuffled
+          // (see filterNewPartitionedBloom)
           UrlSeen.filterNewPartitionedBloom(firstTry, seenDf, bloomDir, bloomParts,
-            smallProbe = frontierCount <= 5000000L)
+            smallProbe = frontierCount <= 2000000L)
             .unionByName(retries)
         }).cache()
       // 2. offsite filter (allowed_domains) then robots gate; cached — the
@@ -329,11 +338,15 @@ object CrawlJob {
 
       // incremental Bloom maintenance, BEFORE the manifest commit (superset
       // invariant; see the reconcile note above): merge only this round's
-      // seen delta into the per-partition filters — O(delta), flat per
-      // round. `seenDf` (now including the delta) is touched only if a
-      // partition saturates and must be rebuilt at doubled capacity.
+      // FIRST-TRY scheduled keys into the per-partition filters — O(delta),
+      // flat per round. Retry rows are skipped: their hash entered the
+      // filter in the round that first scheduled them, and re-adding would
+      // inflate the saturation counters. `seenDf` (now including the delta)
+      // is touched only if a partition saturates and must be rebuilt at
+      // doubled capacity.
       UrlSeen.mergeDeltaIntoPartitionedBlooms(
-        seenDelta, seenDf, bloomDir, bloomParts, bloomCapacityPerPart)
+        sched.filter(col("retries") === 0).select(col("urlHash")),
+        seenDf, bloomDir, bloomParts, bloomCapacityPerPart)
       UrlSeen.writeBloomRound(bloomDir, round)
 
       // per-partition lineage (north_rule): file-granular row counts of

@@ -64,20 +64,36 @@ object DocDedup {
     * (band, bucket) → self-pair within bucket (capped) → dedup pairs →
     * verify on signature agreement (the MinHash Jaccard estimate).
     */
-  /** Count + report rows dropped by a bucket-size cap — a coverage loss
-    * that must never be silent (pairs inside an over-cap bucket are simply
-    * not compared). One cheap extra aggregation over the bucket keys.
+  /** Dropped-coverage reporting for bucket-size caps — a coverage loss that
+    * must never be silent (pairs inside an over-cap bucket are simply not
+    * compared). Implemented with `Dataset.observe` + a QueryExecutionListener
+    * so the count rides the SAME job that executes the capped plan: zero
+    * extra passes, printed once per executed query when nonzero.
     */
-  private[graft] def reportDroppedCoverage(
-      op: String, bucketed: DataFrame, keyCols: Seq[String], maxBucket: Int): Unit = {
-    val dropped = bucketed
-      .groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
-      .filter(col("n") > maxBucket)
-      .agg(coalesce(sum(col("n") - maxBucket), lit(0L)))
-      .collect()(0).getLong(0)
-    if (dropped > 0)
-      System.err.println(
-        s"[graft] $op: bucket cap $maxBucket dropped $dropped candidate rows (coverage loss)")
+  private val obsId = new java.util.concurrent.atomic.AtomicLong()
+  private val listenerRegistered =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+
+  private[graft] def withDroppedObserver(
+      op: String, ranked: DataFrame, rnCol: String, maxBucket: Int): DataFrame = {
+    val spark = ranked.sparkSession
+    if (listenerRegistered.add(spark)) {
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith("graft.dropped.") && !row.isNullAt(0) && row.getLong(0) > 0)
+              System.err.println(s"[graft] ${name.stripPrefix("graft.dropped.").takeWhile(_ != '#')}: " +
+                s"bucket cap dropped ${row.getLong(0)} candidate rows (coverage loss)")
+          }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+      })
+    }
+    ranked.observe(
+      s"graft.dropped.$op#${obsId.incrementAndGet()}",
+      coalesce(sum(when(col(rnCol) > maxBucket, 1L).otherwise(0L)), lit(0L)).as("dropped"))
   }
 
   def minhashPairs(
@@ -96,10 +112,11 @@ object DocDedup {
       .select(col("id"), col("sig"), explode(lshBuckets(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
     // cap pathological buckets (boilerplate): keep the maxBucket lowest ids;
-    // the cap is NEVER silent — dropped coverage is counted and reported
-    if (logDropped) reportDroppedCoverage("minhashPairs", sigs, Seq("band", "bucket"), maxBucket)
+    // the cap is NEVER silent — dropped coverage is observed on the same job
     val w = Window.partitionBy("band", "bucket").orderBy("id")
-    val capped = sigs.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= maxBucket).drop("__rn")
+    val ranked = sigs.withColumn("__rn", row_number().over(w))
+    val observed = if (logDropped) withDroppedObserver("minhashPairs", ranked, "__rn", maxBucket) else ranked
+    val capped = observed.filter(col("__rn") <= maxBucket).drop("__rn")
     val a = capped.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = capped.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
     val pairs = a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))

@@ -119,20 +119,24 @@ object Multimodal {
     val total = perPid.map(_._2).sum
     if (total == 0L) return media
     val offsets = perPid.scanLeft((0, 0L)) { case ((_, acc), (pid, b)) => (pid, acc + b) }
-      .sliding(2).collect { case Array((_, off), (pid, _)) => pid -> off }.toMap
-    val offsetExpr = perPid.map(_._1).foldLeft(lit(0L)) { (acc, pid) =>
-      when(col("__pid") === pid, lit(offsets.getOrElse(pid, 0L))).otherwise(acc)
-    }
+      .sliding(2).collect { case Array((_, off), (pid, _)) => pid -> off }.toSeq
+    // P offset rows ride a broadcast join (NOT an O(P) when-chain, which
+    // would blow Catalyst up at the thousands of input partitions this
+    // function exists for)
+    import media.sparkSession.implicits._
+    val offsetsDf = offsets.toDF("__opid", "__off")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__pid").orderBy("__ord")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val parts = math.max(1, (total / target).toInt + (if (total % target == 0) 0 else 1))
     sized
+      .join(broadcast(offsetsDf), col("__pid") === col("__opid"), "left")
       // bucket by the cumulative bytes BEFORE this row, so a fat row starts
       // in the bucket where the previous row ended (never splits)
-      .withColumn("__cum", coalesce(sum("__bytes").over(w), lit(0L)) + offsetExpr)
+      .withColumn("__cum",
+        coalesce(sum("__bytes").over(w), lit(0L)) + coalesce(col("__off"), lit(0L)))
       .withColumn("__bucket", (col("__cum") / target).cast("int"))
       .repartitionByRange(parts, col("__bucket"))
-      .drop("__bytes", "__pid", "__ord", "__cum", "__bucket")
+      .drop("__bytes", "__pid", "__ord", "__cum", "__bucket", "__opid", "__off")
   }
 }

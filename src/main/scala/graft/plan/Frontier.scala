@@ -96,16 +96,19 @@ object Frontier {
     ranged.cache()
     val counts = ranged.groupBy("__pid").count().collect()
       .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets: Map[Int, Long] = counts
+    val offsets = counts
       .scanLeft((0, 0L)) { case ((_, acc), (pid, c)) => (pid, acc + c) }
-      .sliding(2).collect { case Array((_, off), (pid, _)) => pid -> off }.toMap
-    val offsetExpr = counts.map(_._1).foldLeft(lit(0L)) { (acc, pid) =>
-      when(col("__pid") === pid, lit(offsets.getOrElse(pid, 0L))).otherwise(acc)
-    }
+      .sliding(2).collect { case Array((_, off), (pid, _)) => pid -> off }.toSeq
+    // P offset rows ride a broadcast join, not an O(P) when-chain (Catalyst
+    // expression depth would become the scale limit)
+    import df.sparkSession.implicits._
+    val offsetsDf = offsets.toDF("__opid", "__off")
     val w = Window.partitionBy("__pid").orderBy(orderCol)
     ranged
-      .withColumn(rankCol, row_number().over(w).cast("long") - 1 + offsetExpr)
-      .drop("__pid")
+      .join(broadcast(offsetsDf), col("__pid") === col("__opid"), "left")
+      .withColumn(rankCol,
+        row_number().over(w).cast("long") - 1 + coalesce(col("__off"), lit(0L)))
+      .drop("__pid", "__opid", "__off")
   }
 
   /** Round-robin shard assignment with exact reference parity
@@ -148,6 +151,46 @@ object Frontier {
       .select(
         col("card_c"), col("trans_c"),
         to_date(col("date_text"), "dd/MM/yyyy").as("date"))
+
+  /** Bulk rates ingest with the reference's PER-FILE commit semantics
+    * (client.py:152-171: `session.commit()` once per input CSV, so a crash
+    * mid-ingest keeps every completed file and none of the in-flight one).
+    * Each file becomes one atomic [[graft.checkpoint.SnapshotStore]] commit
+    * whose manifest also records the ingested file names — re-running after
+    * a crash (or on an extended directory) ingests exactly the not-yet-
+    * committed files, idempotently. Returns the full rates table.
+    */
+  def ratesFromCsvPerFile(
+      spark: SparkSession,
+      inDir: String,
+      providerId: Int,
+      store: graft.checkpoint.SnapshotStore): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(inDir)).iterator.asScala
+      .filter(_.getFileName.toString.endsWith(".csv"))
+      .toSeq.sortBy(_.getFileName.toString)
+    val resume = store.readCurrent()
+    var version = resume.map(_._1).getOrElse(0)
+    var ratesPaths = resume.flatMap(_._2.get("rates"))
+      .map(_.split(";").toIndexedSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    var done = resume.flatMap(_._2.get("ingestedFiles"))
+      .map(_.split(";").filter(_.nonEmpty).toSet).getOrElse(Set.empty[String])
+    files.filterNot(f => done(f.getFileName.toString)).foreach { f =>
+      version += 1
+      val p = store.dataPath("rates", version)
+      ratesFromCsv(spark, f.toString, providerId).write.mode("overwrite").parquet(p)
+      ratesPaths = ratesPaths :+ p
+      done = done + f.getFileName.toString
+      store.commit(version, Map(
+        "rates" -> ratesPaths.mkString(";"),
+        "ingestedFiles" -> done.toSeq.sorted.mkString(";")))
+    }
+    if (ratesPaths.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "card_code STRING, trans_code STRING, date DATE, provider_id INT, rate DOUBLE"))
+    else spark.read.parquet(ratesPaths: _*)
+  }
 
   /** Bulk rates ingest (client.py:152-171): header CSV, dates `MM/dd/yyyy`
     * — deliberately a *different* dialect from the frontier shards

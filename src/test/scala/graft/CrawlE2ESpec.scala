@@ -188,6 +188,17 @@ class CrawlE2ESpec extends SparkSpec {
     assert(byHost("evil.example.com") === 2L)
   }
 
+  test("hostCol: parse_url fast path + UDF fallback for URI-hostile hosts") {
+    val urls = Seq(
+      "https://WWW.Example.COM/path?q=1",      // parse_url path, case-folded
+      "https://api_v2.example.com/x",          // underscore: URI rejects → fallback
+      "http://user@host.com:8080/y")           // userinfo+port stripped
+      .toDF("url")
+    val got = urls.select(CrawlJob.hostCol(col("url")).as("h"))
+      .as[String].collect().toSeq
+    assert(got === Seq("www.example.com", "api_v2.example.com", "host.com"))
+  }
+
   test("duplicate seeds collapse via canonical dedup before scheduling") {
     val currs = Frontier.currencyDim(spark, Seq("GBP", "USD"))
     val seeds = Frontier.candidates(currs, end, 2)

@@ -102,4 +102,28 @@ class FrontierSpec extends SparkSpec {
       ("GBP", "USD", Date.valueOf("1995-09-07"), 1, 1.5),
       ("USD", "GBP", Date.valueOf("1995-12-31"), 1, 2.5)))
   }
+
+  test("per-file commit ingest: resumable, idempotent, one commit per CSV") {
+    def csv(dir: String, name: String, rows: String): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/$name"),
+        "card_code,trans_code,date,rate\n" + rows)
+    val dir = java.nio.file.Files.createTempDirectory("percsv").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("percsv-ckpt").toString
+    val store = new graft.checkpoint.SnapshotStore(ckpt)
+    csv(dir, "a.csv", "GBP,USD,09/07/1995,1.5\n")
+    csv(dir, "b.csv", "USD,GBP,09/08/1995,2.5\nEUR,USD,09/09/1995,3.5\n")
+    // first run: 2 files → 2 commits, 3 rows
+    assert(Frontier.ratesFromCsvPerFile(spark, dir, 1, store).count() === 3)
+    assert(store.currentVersion() === Some(2))
+    // idempotent: nothing new → no new commits, same rows
+    assert(Frontier.ratesFromCsvPerFile(spark, dir, 1, store).count() === 3)
+    assert(store.currentVersion() === Some(2))
+    // a crash-resume with one MORE file ingests exactly that file
+    csv(dir, "c.csv", "CHF,USD,09/10/1995,4.5\n")
+    val out = Frontier.ratesFromCsvPerFile(spark, dir, 1, store)
+    assert(out.count() === 4)
+    assert(store.currentVersion() === Some(3))
+    assert(out.filter(org.apache.spark.sql.functions.col("card_code") === "CHF").count() === 1)
+  }
 }
