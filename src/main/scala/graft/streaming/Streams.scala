@@ -35,6 +35,23 @@ object Streams {
       to_date(col("date"), "dd/MM/yyyy").as("date"))
   }
 
+  /** Streaming URL-seen dedup — the streaming dual of the batch dupefilter
+    * (SURVEY.md §2#24): keyed `dropDuplicatesWithinWatermark` over the
+    * canonical-URL hash, so state stays bounded by the watermark horizon.
+    * Division of labor at 10^10 URLs: this stage exactly dedups the
+    * IN-FLIGHT window of an arriving frontier stream; the batch loop's
+    * incremental partitioned blooms remain the unbounded-horizon store the
+    * stream's survivors are checked against on entry.
+    *
+    * Input must carry (ts TIMESTAMP, urlHash BIGINT, canonUrl STRING, …);
+    * keying includes the canonical URL so a 64-bit hash collision can never
+    * drop a genuinely-new URL — same exactness contract as the batch path.
+    */
+  def dedupUrls(frontier: DataFrame, watermark: String = "1 hour"): DataFrame =
+    frontier
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("urlHash", "canonUrl")
+
   /** Watermarked tumbling-window fetch metrics: events(ts, host, fetched,
     * bytes) → per-window per-host counts. Late data beyond the watermark is
     * dropped — at 10^10 URLs the state store must stay bounded.

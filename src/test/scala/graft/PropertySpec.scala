@@ -77,4 +77,35 @@ class PropertySpec extends SparkSpec {
       assert(out === expectedNew)
     }
   }
+
+  test("property: incrementally-merged partitioned blooms ≡ exact over random rounds") {
+    val gen = for {
+      rounds <- Gen.choose(2, 4)
+      perRound <- Gen.choose(10, 150)
+      parts <- Gen.oneOf(2, 4, 8)
+      cap <- Gen.oneOf(16L, 64L, 4096L) // small caps force saturation rebuilds
+    } yield (rounds, perRound, parts, cap)
+    Iterator.continually(gen.sample).flatten.take(4).foreach { case (rounds, perRound, parts, cap) =>
+      val dir = java.nio.file.Files.createTempDirectory("propbloom").toString
+      var seenUrls = Vector.empty[String]
+      (1 to rounds).foreach { r =>
+        val delta = ((r - 1) * perRound until r * perRound).map(i => s"http://r.com/$i")
+        seenUrls = seenUrls ++ delta
+        val deltaDf = delta.toDF("url")
+          .select(xxhash64(col("url")).as("urlHash"), col("url"))
+        val seenDf = seenUrls.toDF("url")
+          .select(xxhash64(col("url")).as("urlHash"), col("url"))
+        UrlSeen.mergeDeltaIntoPartitionedBlooms(deltaDf, seenDf, dir, parts, capacityPerPart = cap)
+        val cands = (seenUrls.take(20) ++ seenUrls.takeRight(20) ++
+          (0 until 25).map(i => s"http://fresh$r.com/$i")).zipWithIndex
+          .toDF("url", "seq")
+          .select(col("url"), col("seq"), col("url").as("canonUrl"), xxhash64(col("url")).as("urlHash"))
+        val exact = UrlSeen.filterNewExact(cands, seenDf).select("url").as[String].collect().toSet
+        val pb = UrlSeen.filterNewPartitionedBloom(cands, seenDf, dir, parts)
+          .select("url").as[String].collect().toSet
+        assert(pb === exact, s"rounds=$rounds perRound=$perRound parts=$parts cap=$cap round=$r")
+        assert(exact.size === 25)
+      }
+    }
+  }
 }

@@ -37,6 +37,32 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming URL dedup: duplicates within the watermark window dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val frontier = input.toDF.toDF("ts", "urlHash", "canonUrl")
+    val q = Streams.dedupUrls(frontier, watermark = "1 hour")
+      .writeStream.format("memory").queryName("dedup_urls").outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2026-01-01 10:00:00"), 1L, "http://a.com/x"),
+        (ts("2026-01-01 10:00:01"), 1L, "http://a.com/x"), // dup in-batch
+        (ts("2026-01-01 10:00:02"), 2L, "http://a.com/y"))
+      q.processAllAvailable()
+      input.addData(
+        (ts("2026-01-01 10:30:00"), 1L, "http://a.com/x"), // dup across batches
+        (ts("2026-01-01 10:30:00"), 1L, "http://b.com/z"), // hash COLLISION — must survive
+        (ts("2026-01-01 10:30:01"), 3L, "http://a.com/w"))
+      q.processAllAvailable()
+      val out = spark.table("dedup_urls").select("urlHash", "canonUrl")
+        .as[(Long, String)].collect().toSeq
+      assert(out.length === 4)
+      assert(out.toSet === Set(
+        (1L, "http://a.com/x"), (2L, "http://a.com/y"),
+        (1L, "http://b.com/z"), (3L, "http://a.com/w")))
+    } finally q.stop()
+  }
+
   test("stateful host sessions: AIMD delay update per fetch event") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[FetchEvent]
