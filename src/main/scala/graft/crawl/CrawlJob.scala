@@ -324,30 +324,36 @@ object CrawlJob {
         df.write.mode("overwrite").parquet(p)
         p
       }
+      // incremental Bloom maintenance rides the same concurrent write phase
+      // (it reads only the cached slim schedule) and, like the data writes,
+      // completes BEFORE the manifest commit — the superset invariant (see
+      // the reconcile note above). Merge only this round's FIRST-TRY
+      // scheduled keys: O(delta), flat per round; retry rows are skipped
+      // (their hash entered the filter in the round that first scheduled
+      // them, and re-adding would inflate the saturation counters). The
+      // rebuild source (old seen ∪ this delta) is touched only if a
+      // partition saturates and must be rebuilt at doubled capacity.
+      val firstTryKeys = sched.filter(col("retries") === 0).select(col("urlHash"))
+      val bloomMerge = Future {
+        UrlSeen.mergeDeltaIntoPartitionedBlooms(
+          firstTryKeys,
+          seenDf.select("urlHash").unionByName(firstTryKeys),
+          bloomDir, bloomParts, bloomCapacityPerPart)
+        UrlSeen.writeBloomRound(bloomDir, round)
+        "blooms"
+      }
       val writes = Future.sequence(Seq(
         persist("frontier", frontier1),
         persist("hostStates", hostStates1.toDF),
         persist("seen", seenDelta),
         persist("rates", newRates),
-        persist("metrics", metricsDelta)))
-      val Seq(frontierPath, hostStatesPath, seenPath, ratesPath, metricsPath) =
+        persist("metrics", metricsDelta),
+        bloomMerge))
+      val Seq(frontierPath, hostStatesPath, seenPath, ratesPath, metricsPath, _) =
         Await.result(writes, Duration.Inf)
       seenPaths = seenPaths :+ seenPath
       ratesPaths = ratesPaths :+ ratesPath
       metricsPaths = metricsPaths :+ metricsPath
-
-      // incremental Bloom maintenance, BEFORE the manifest commit (superset
-      // invariant; see the reconcile note above): merge only this round's
-      // FIRST-TRY scheduled keys into the per-partition filters — O(delta),
-      // flat per round. Retry rows are skipped: their hash entered the
-      // filter in the round that first scheduled them, and re-adding would
-      // inflate the saturation counters. `seenDf` (now including the delta)
-      // is touched only if a partition saturates and must be rebuilt at
-      // doubled capacity.
-      UrlSeen.mergeDeltaIntoPartitionedBlooms(
-        sched.filter(col("retries") === 0).select(col("urlHash")),
-        seenDf, bloomDir, bloomParts, bloomCapacityPerPart)
-      UrlSeen.writeBloomRound(bloomDir, round)
 
       // per-partition lineage (north_rule): file-granular row counts of
       // every data file this round committed, written alongside the data —

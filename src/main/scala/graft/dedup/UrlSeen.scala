@@ -102,14 +102,17 @@ object UrlSeen {
       fpp: Double = 0.01): Unit =
     writeFilters(
       seen.select(col("urlHash"), pmod(col("urlHash"), lit(parts.toLong)).as("pm")),
-      dir, pm => expectedItemsPerPart, fpp, loadExisting = false)
+      dir, _ => expectedItemsPerPart, fpp, loadExisting = false): Unit
 
   /** One round's INCREMENTAL maintenance: merge only `delta`'s keys into the
-    * per-partition filters (O(delta) work — never a full-seen rescan). A
-    * partition whose count would exceed its capacity is instead rebuilt from
-    * `seenWithDelta` (the full seen set *including* this delta) at doubled
-    * capacity — O(seen/parts) for that partition only, amortized by the
-    * doubling.
+    * per-partition filters (O(delta) work — never a full-seen rescan), in a
+    * SINGLE distributed pass: each task merges its partition's keys and
+    * reports (capacity, count). Writing a transiently over-capacity filter
+    * is safe (still a superset — only fpp degrades until the repair), so
+    * saturated partitions are detected from the returned counts and rebuilt
+    * afterwards from `seenWithDelta` (the full seen set *including* this
+    * delta, deduped by key) at doubled capacity — O(seen/parts) for those
+    * partitions only, amortized by the doubling.
     */
   def mergeDeltaIntoPartitionedBlooms(
       delta: DataFrame,
@@ -120,63 +123,52 @@ object UrlSeen {
       fpp: Double = 0.01): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     val withPm = delta.select(col("urlHash"), pmod(col("urlHash"), lit(parts.toLong)).as("pm"))
-    // slim agg: how many delta keys land in each partition
-    val deltaCounts = withPm.groupBy("pm").count()
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    if (deltaCounts.isEmpty) return
-    val existing = deltaCounts.keys.map(pm => pm -> readSidecar(dir, pm)).toMap
-    val (saturated, mergeable) = deltaCounts.keySet.partition { pm =>
-      val (cap, n) = existing(pm)
-      cap > 0L && n + deltaCounts(pm) > cap
-    }
-    if (mergeable.nonEmpty) {
-      val capOf = mergeable.map { pm =>
-        val cap = existing(pm)._1
-        pm -> (if (cap > 0L) cap else math.max(capacityPerPart, 2 * deltaCounts(pm)))
-      }.toMap
-      writeFilters(withPm.filter(col("pm").isin(mergeable.toSeq: _*)),
-        dir, capOf, fpp, loadExisting = true)
-    }
+    val results = writeFilters(withPm, dir, _ => capacityPerPart, fpp, loadExisting = true)
+    val saturated = results.filter { case (_, cap, n) => n > cap }
     if (saturated.nonEmpty) {
-      val capOf = saturated.map { pm =>
-        val (cap, n) = existing(pm)
-        pm -> math.max(2 * cap, 2 * (n + deltaCounts(pm)))
-      }.toMap
+      val capOf: Map[Long, Long] =
+        saturated.map { case (pm, cap, n) => pm -> math.max(2 * cap, 2 * n) }.toMap
       val full = seenWithDelta
+        .select(col("urlHash")).distinct() // retries re-append; count distinct keys
         .select(col("urlHash"), pmod(col("urlHash"), lit(parts.toLong)).as("pm"))
-        .filter(col("pm").isin(saturated.toSeq: _*))
-      writeFilters(full, dir, capOf, fpp, loadExisting = false)
+        .filter(col("pm").isin(capOf.keys.toSeq: _*))
+      writeFilters(full, dir, capOf, fpp, loadExisting = false): Unit
     }
   }
 
   /** Distributed filter write: one task per `pm` group builds (or extends,
     * when `loadExisting`) that partition's filter and atomically swaps the
-    * `.bin` + `.cnt` pair into place.
+    * `.bin` + `.cnt` pair into place. Returns (pm, capacity, count) per
+    * touched partition so callers can detect saturation without a separate
+    * counting job.
     */
   private def writeFilters(
       keyed: DataFrame, // (urlHash, pm)
       dir: String,
       capacityOf: Long => Long,
       fpp: Double,
-      loadExisting: Boolean): Unit = {
+      loadExisting: Boolean): Array[(Long, Long, Long)] = {
     import keyed.sparkSession.implicits._
     keyed.as[(Long, Long)]
       .groupByKey(_._2)
       .mapGroups { (pm, rows) =>
         val prior = if (loadExisting) loadFilter(dir, pm) else None
-        val (bf, n0) = prior match {
-          case Some(f) => (f, readSidecarStatic(dir, pm)._2)
-          case None => (BloomFilter.create(math.max(capacityOf(pm), 2L), fpp), 0L)
+        val (bf, cap, n0) = prior match {
+          case Some(f) =>
+            val (c, n) = readSidecarStatic(dir, pm)
+            (f, c, n)
+          case None =>
+            val c = math.max(capacityOf(pm), 2L)
+            (BloomFilter.create(c, fpp), c, 0L)
         }
         var n = n0
         rows.foreach { r => bf.putLong(r._1); n += 1 }
-        val cap = if (prior.isDefined) readSidecarStatic(dir, pm)._1 else math.max(capacityOf(pm), 2L)
         atomicWrite(dir, f"bloom-$pm%05d.bin") { out => bf.writeTo(out) }
         atomicWrite(dir, f"bloom-$pm%05d.cnt") { out =>
           out.write(s"$cap $n".getBytes("UTF-8")) }
-        (pm, n)
+        (pm, cap, n)
       }
-      .count(): Unit
+      .collect()
   }
 
   private def atomicWrite(dir: String, name: String)(body: java.io.OutputStream => Unit): Unit = {
@@ -189,8 +181,6 @@ object UrlSeen {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
-
-  private def readSidecar(dir: String, pm: Long): (Long, Long) = readSidecarStatic(dir, pm)
 
   private[graft] def readSidecarStatic(dir: String, pm: Long): (Long, Long) = {
     val p = java.nio.file.Paths.get(dir, f"bloom-$pm%05d.cnt")
