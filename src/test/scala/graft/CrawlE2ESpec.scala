@@ -188,6 +188,47 @@ class CrawlE2ESpec extends SparkSpec {
     assert(byHost("evil.example.com") === 2L)
   }
 
+  test("all gates together: dedup + offsite + robots + retries compose; metrics reconcile") {
+    val currs = Frontier.currencyDim(spark, Seq("GBP", "USD", "EUR"))
+    val seeds = Frontier.candidates(currs, end, 3) // 18 seeds
+    val onsite = CrawlJob.expandSeeds(seeds, "Mastercard")
+    // +3 off-domain rows, +4 within-batch duplicates of the first seeds
+    val offsite = onsite.limit(3)
+      .withColumn("url", regexp_replace(col("url"), "www\\.mastercard\\.co\\.uk", "elsewhere.net"))
+      .withColumn("host", lit("elsewhere.net"))
+      .withColumn("canonUrl", udf((u: String) => graft.urls.Urls.canonicalize(u)).apply(col("url")))
+      .withColumn("urlHash", xxhash64(col("canonUrl")))
+      .withColumn("seq", col("seq") + 500L)
+    val dups = onsite.limit(4).withColumn("seq", col("seq") + 1000L)
+    val frontier = onsite.unionByName(offsite).unionByName(dups)
+    // robots blocks one fxDate prefix (6 rows); pages missing for EUR-card
+    // seeds (4 rows, but 2 of them are also robots-blocked date rows… keep
+    // the classes disjoint: block one date, miss on EUR card)
+    val robots = Seq(("www.mastercard.co.uk", "/settlement/currencyrate/fxDate=1995-09-10", false))
+      .toDF("host", "pathPrefix", "allow")
+    val pages = Synth.mcPages(
+      seeds.filter(!(col("card_c") === "EUR" && col("date") =!= java.sql.Date.valueOf("1995-09-10"))))
+    val dir = Files.createTempDirectory("crawlAllGates").toString
+    val (_, seen, metrics) = CrawlJob.run(
+      spark, frontier, pages, robots, dir, PolitenessConfig(),
+      allowedDomains = Seq("mastercard.co.uk"))
+
+    // 18 on-site seeds: 6 robots-blocked (fxDate=1995-09-10) never scheduled;
+    // 12 scheduled; of those, EUR-card seeds on other dates (4 rows) have no
+    // page → retried twice then dropped
+    val scheduledDistinct = seen.select("urlHash").distinct().count()
+    assert(scheduledDistinct === 12)
+    assert(seen.filter(col("url").contains("elsewhere")).count() === 0)
+    assert(seen.count() === 12 + 2 * 4) // 4 missing URLs retried twice each
+    assert(metrics.agg(sum("offsiteDropped")).collect()(0).getLong(0) === 3L)
+    assert(metrics.agg(sum("robotsDropped")).collect()(0).getLong(0) === 6L)
+    // the 4 within-batch duplicates died in the entry dedup (round-1 input
+    // dedup), so cross-round dedupDropped stays 0
+    assert(metrics.agg(sum("dedupDropped")).collect()(0).getLong(0) === 0L)
+    assert(metrics.agg(sum("fetchMissed")).collect()(0).getLong(0) === 12L) // 4 urls × 3 attempts
+    assert(metrics.agg(sum("extractedOk") + sum("errorDropped")).collect()(0).getLong(0) === 8L)
+  }
+
   test("hostCol: parse_url fast path + UDF fallback for URI-hostile hosts") {
     val urls = Seq(
       "https://WWW.Example.COM/path?q=1",      // parse_url path, case-folded
