@@ -369,8 +369,12 @@ object SparkEntry {
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val planted = docs.filter(col("doc_id") < 5)
         .select((col("doc_id") + off).as("doc_id"), col("text"))
+      // id_b - id_a === off keeps ONLY source-with-its-own-copy pairs: a mere
+      // range filter (id_a < off <= id_b) would also admit cross pairs
+      // (real_j, planted_i, j != i) if any two distinct synthetic docs ever
+      // estimated >= 0.9 at some scale factor, breaking the golden oracle
       graft.dedup.DocDedup.minhashPairs(docs.unionByName(planted), threshold = 0.9)
-        .filter(col("id_a") < off && col("id_b") >= off)
+        .filter(col("id_b") - col("id_a") === off)
         .orderBy("id_a", "id_b")
     }),
 
@@ -714,13 +718,18 @@ object SparkEntry {
       // the synthetic media fixture and the stub decoder are both exactly
       // recomputable: content = UTF-8 of ASCII text (bytes = code points),
       // kind = doc_id % 3, luma = mean byte, frames = 1 + bytes/1024
+      // empty-text guard matches stubDecode exactly: (luma 0.0, frames 0)
+      // for zero-byte content (sum/0 would otherwise yield NULL here and
+      // 1 + 0//1024 = 1 frames — a gate break if any SF emits an empty doc)
       """SELECT doc_id AS media_id,
            ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
            CAST(strlen(text) AS BIGINT) AS n_bytes,
-           round(CAST(list_sum(list_transform(range(strlen(text)),
-                 i -> unicode(substr(text, CAST(i AS INT)+1, 1)))) AS DOUBLE)
-                 / strlen(text), 4) AS mean_luma,
-           CAST(1 + strlen(text) // 1024 AS INT) AS frames_sampled
+           CASE WHEN strlen(text) = 0 THEN 0.0 ELSE
+             round(CAST(list_sum(list_transform(range(strlen(text)),
+                   i -> unicode(substr(text, CAST(i AS INT)+1, 1)))) AS DOUBLE)
+                   / strlen(text), 4) END AS mean_luma,
+           CASE WHEN strlen(text) = 0 THEN 0
+                ELSE CAST(1 + strlen(text) // 1024 AS INT) END AS frames_sampled
          FROM documents ORDER BY media_id""",
 
     "q33_region_revenue" ->

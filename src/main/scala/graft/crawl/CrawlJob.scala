@@ -8,7 +8,6 @@ import graft.dedup.UrlSeen
 import graft.extract.Extractors
 import graft.model.{HostState, PolitenessConfig}
 import graft.politeness.{Robots, Scheduler}
-import graft.urls.Urls
 
 /** The crawl lifecycle (SURVEY.md §3.2 Spark equivalent): resumable
   * micro-batch rounds of
@@ -28,19 +27,12 @@ object CrawlJob {
   val VisaId = 2
 
   /** xxhash64 over the canonical URL — the dedup key (north_rule). */
-  private val canonicalUdf = udf((u: String) => Urls.canonicalize(u))
+  private val canonicalUdf = graft.urls.UrlCols.canonicalUdf
 
-  private val hostOfUdf = udf((u: String) => Urls.hostOf(u))
-
-  /** Host column — built-in `parse_url` (codegen-friendly) with a
-    * [[Urls.hostOf]] UDF fallback: `parse_url` follows java.net.URI and
-    * returns NULL for hosts URI rejects (e.g. underscores, common in the
-    * wild), which would collapse those rows into one NULL politeness bucket
-    * and break the offsite filter. Coalesce evaluates the UDF only on the
-    * rare NULL rows, so the hot path stays codegen.
+  /** Host column — see [[graft.urls.UrlCols.hostCol]] (shared with the
+    * robots rule table so frontier hosts and rule hosts derive identically).
     */
-  def hostCol(url: Column): Column =
-    coalesce(lower(parse_url(url, lit("HOST"))), hostOfUdf(url))
+  def hostCol(url: Column): Column = graft.urls.UrlCols.hostCol(url)
 
   /** Expand seed combos (card_c, trans_c, date, seq) into frontier rows for
     * one provider, building the byte-exact provider URL (SURVEY.md §2#35-36)
@@ -164,9 +156,14 @@ object CrawlJob {
     // invariant, so rebuild once from the committed seen set.
     if (round > 0 && UrlSeen.readBloomRound(bloomDir).forall(_ < round)) {
       if (seenPaths.nonEmpty) {
-        val seenCount = seenDf.count()
+        // rebuild from DISTINCT keys: retry rows re-append the same urlHash
+        // each round, so raw row counts would inflate the saturation sidecars
+        // and trigger premature doubled-capacity rebuilds (the merge path
+        // already dedups via distinct() — keep both paths consistent)
+        val distinctKeys = seenDf.select("urlHash").distinct()
+        val seenCount = distinctKeys.count()
         UrlSeen.buildPartitionedBlooms(
-          seenDf, bloomDir, bloomParts,
+          distinctKeys, bloomDir, bloomParts,
           math.max(bloomCapacityPerPart, 2L * seenCount / bloomParts))
       }
       UrlSeen.writeBloomRound(bloomDir, round)

@@ -18,10 +18,19 @@ object DocDedup {
 
   // ------------------------------------------------------------- exact
 
-  /** Exact dedup: group by content hash, keep the lowest id. */
+  /** Exact dedup: group by content hash, keep the lowest id.
+    *
+    * The identity key is md5 (128-bit): at 10^10 documents the birthday
+    * bound expects ~3 collisions from a 64-bit key (xxhash64), each silently
+    * merging two DIFFERENT documents — a false drop, invisible to any
+    * sampled test. At 128 bits the expected collision count is ~10^-19.
+    * (The URL-seen path solves the same problem by confirming on the
+    * canonical URL itself; documents have no short canonical form, so the
+    * wider hash is the right tool here.)
+    */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs
-      .groupBy(xxhash64(col(textCol)).as("content_hash"))
+      .groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
 
   // ----------------------------------------------------------- shingles

@@ -90,10 +90,16 @@ object Frontier {
     * row_number + offset. Every stage is parallel.
     */
   def withGlobalRank(df: DataFrame, orderCol: String, rankCol: String, partitions: Int): DataFrame = {
+    // NOT cached: the counts action below and the returned plan each execute
+    // the range exchange once, but repartitionByRange is deterministic for a
+    // deterministic input (RangePartitioner samples with a fixed
+    // per-partition seed), so both executions assign every row to the same
+    // __pid and the offsets stay valid. A cache here would be unpersistable —
+    // the returned plan is lazy, so there is no safe point to release it, and
+    // repeated withShard calls in a long-lived session would leak cached RDDs.
     val ranged = df
       .repartitionByRange(partitions, col(orderCol))
       .withColumn("__pid", spark_partition_id())
-    ranged.cache()
     val counts = ranged.groupBy("__pid").count().collect()
       .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val offsets = counts
@@ -166,9 +172,14 @@ object Frontier {
       providerId: Int,
       store: graft.checkpoint.SnapshotStore): DataFrame = {
     import scala.jdk.CollectionConverters._
-    val files = java.nio.file.Files.list(java.nio.file.Paths.get(inDir)).iterator.asScala
-      .filter(_.getFileName.toString.endsWith(".csv"))
-      .toSeq.sortBy(_.getFileName.toString)
+    // Files.list holds a directory handle until closed — materialize the
+    // listing inside Using so repeated ingest calls can't leak handles
+    val files = scala.util.Using.resource(
+      java.nio.file.Files.list(java.nio.file.Paths.get(inDir))) { stream =>
+      stream.iterator.asScala
+        .filter(_.getFileName.toString.endsWith(".csv"))
+        .toSeq.sortBy(_.getFileName.toString)
+    }
     val resume = store.readCurrent()
     var version = resume.map(_._1).getOrElse(0)
     var ratesPaths = resume.flatMap(_._2.get("rates"))

@@ -93,9 +93,14 @@ object Robots {
     val parseUdf = udf((host: String, body: String) =>
       parse(host, if (body == null) "" else body)
         .map(r => (r.pathPrefix, r.allow)))
+    // host derived via the SAME expression the frontier uses (UrlCols.hostCol
+    // incl. the URI-hostile-host UDF fallback): bare parse_url would yield
+    // host=NULL for e.g. underscore hosts, whose disallow rules would then
+    // never match any frontier row — the gate failing open for exactly the
+    // hosts the fallback exists for.
     pages
       .filter(col("url").rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]+/robots\\.txt$"))
-      .select(lower(parse_url(col("url"), lit("HOST"))).as("host"), col("text"))
+      .select(graft.urls.UrlCols.hostCol(col("url")).as("host"), col("text"))
       .select(col("host"), explode(parseUdf(col("host"), col("text"))).as("r"))
       .select(col("host"), col("r._1").as("pathPrefix"), col("r._2").as("allow"))
   }

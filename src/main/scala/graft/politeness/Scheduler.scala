@@ -93,6 +93,12 @@ object Scheduler {
         .withColumn("__grn1", row_number().over(gw1))
         .filter(col("__grn1") <= cfg.maxGlobal)
         .drop("__grn1", "__gsalt")
+      // deliberately unpartitioned: stage 1 pre-pruned the input to
+      // ≤ Salts·maxGlobal rows (a politeness CONSTANT — e.g. 16·50 = 800 —
+      // never a data-sized value), so the single-task sort is bounded by
+      // construction. Spark still logs "No Partition Defined for Window
+      // operation" here every crawl round — that warning is expected and
+      // refers to THIS bounded window, not to a data-sized one.
       val gw2 = Window.orderBy(col("priority").desc, col("seq"))
       gPruned
         .withColumn("__grn2", row_number().over(gw2))

@@ -51,4 +51,20 @@ class DimsSpec extends SparkSpec {
       ("a.com", "/private/", false),
       ("a.com", "/private/ok", true)))
   }
+
+  test("robots rules from URI-hostile hosts gate frontier rows (host-derivation parity)") {
+    // parse_url returns NULL for underscore hosts; rule hosts and frontier
+    // hosts must both fall back to Urls.hostOf or the gate fails open
+    val pages = Seq(
+      ("https://under_score.example/robots.txt", "User-agent: *\nDisallow: /\n"))
+      .toDF("url", "text")
+    val rules = Robots.rulesFromPages(pages)
+    assert(rules.as[(String, String, Boolean)].collect().toSet ===
+      Set(("under_score.example", "/", false)))
+    val frontier = Seq("https://under_score.example/page1", "https://ok.example/page2")
+      .toDF("url")
+      .withColumn("host", graft.urls.UrlCols.hostCol(col("url")))
+    val allowed = Robots.allowed(frontier, rules).select("url").as[String].collect().toSeq
+    assert(allowed === Seq("https://ok.example/page2"))
+  }
 }

@@ -91,6 +91,18 @@ class FrontierSpec extends SparkSpec {
     assert(lines.get(0).matches("""[A-Z]{3},[A-Z]{3},\d{2}/\d{2}/\d{4}"""), lines.get(0))
   }
 
+  test("withShard leaks no cached RDDs across repeated calls") {
+    val currs = Frontier.currencyDim(spark, Seq("GBP", "USD"))
+    val cands = Frontier.candidates(currs, testDate, 8)
+    val missing = Frontier.missing(cands, ratesFixture, providers, "Mastercard", testDate, 8, Seq("GBP", "USD"))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    (1 to 5).foreach { _ =>
+      assert(Frontier.withShard(missing, 3, partitions = 4).count() === 7)
+    }
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"cached RDDs leaked by withShard: $leaked")
+  }
+
   test("rates_from_csv dialect: header row + MM/dd/yyyy dates") {
     val dir = java.nio.file.Files.createTempDirectory("ratescsv").toString
     java.nio.file.Files.writeString(
