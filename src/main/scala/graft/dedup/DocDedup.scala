@@ -48,12 +48,27 @@ object DocDedup {
 
   // ------------------------------------------------------------ minhash
 
-  /** MinHash signature: numHashes permutations approximated by seeded
-    * xxhash64; signature[i] = min over shingles of xxhash64(shingle, i).
+  /** Each shingle hashed ONCE to a 64-bit base hash. The permutation family
+    * then mixes these longs instead of re-hashing the raw strings — hashing
+    * an 8-byte long per permutation is several times cheaper than a 20-40
+    * byte string, and it is the standard MinHash construction (hash the
+    * shingle once, derive the k permutations from the integer).
     */
-  def minhashSignature(shingleArr: Column, numHashes: Int = 64): Column =
+  def shingleHashes(shingleArr: Column): Column =
+    transform(shingleArr, s => xxhash64(s))
+
+  /** MinHash signature over pre-hashed shingles ([[shingleHashes]]):
+    * signature[i] = min over shingle hashes h of xxhash64(h, i).
+    *
+    * `hashArr` must be a MATERIALIZED column (crossed a select/withColumn
+    * boundary), not an inline expression: the argument tree is referenced
+    * from each of the numHashes lambdas, and Catalyst CSE does not
+    * deduplicate expression trees inside lambda bodies — an inlined shingle
+    * build would execute numHashes times per row (measured 64x recompute).
+    */
+  def minhashSignature(hashArr: Column, numHashes: Int = 64): Column =
     array((0 until numHashes).map { i =>
-      array_min(transform(shingleArr, s => xxhash64(s, lit(i))))
+      array_min(transform(hashArr, h => xxhash64(h, lit(i))))
     }: _*)
 
   /** LSH banding: split the signature into `bands` bands of `rowsPerBand`
@@ -115,23 +130,67 @@ object DocDedup {
       maxBucket: Int = 1000,
       logDropped: Boolean = true): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sigs = docs
-      .select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .select(col("id"), col("sig"), explode(lshBuckets(col("sig"), bands, rowsPerBand)).as("bk"))
-      .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    // the signature map (shingle → hash once → numHashes permutations) is
+    // the expensive per-row kernel; a tiny input (few parquet splits) would
+    // otherwise run it at scan parallelism — spread it across the cluster.
+    // At real scale the scan already yields >= defaultParallelism splits and
+    // this is a no-op (no shuffle is ever added for large inputs).
+    val p = docs.sparkSession.sparkContext.defaultParallelism
+    val spread = if (docs.rdd.getNumPartitions < p) docs.repartition(p) else docs
+    // each select is a REQUIRED materialization boundary (see
+    // minhashSignature scaladoc — lambda bodies defeat CSE)
+    val base = spread.select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
+      .select(col("id"), shingleHashes(col("sh")).as("shh"))
+    // SLIM bucket stream: the fat numHashes-long signature never rides the
+    // band explode (16 copies/doc), the window, the observer barrier, or any
+    // shuffle — candidate generation moves only (id, band, bucket) rows.
+    // The signature is recomputed once at the end and attached ONLY to
+    // surviving candidate pairs (two signature map passes total; the naive
+    // carry-the-signature shape instead shuffles 16 copies of every
+    // signature and pins them through the CollectMetrics barrier — the
+    // measured 2.5x q27 regression in round 2).
+    val buckets = base
+      .withColumn("sig", minhashSignature(col("shh"), numHashes))
+      .select(col("id"), explode(lshBuckets(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
     // cap pathological buckets (boilerplate): keep the maxBucket lowest ids;
-    // the cap is NEVER silent — dropped coverage is observed on the same job
+    // the cap is NEVER silent — dropped coverage is observed on the same job.
+    // row_number (not collect_list-then-slice) so a degenerate bucket of any
+    // size streams through the rank instead of materializing as one array.
     val w = Window.partitionBy("band", "bucket").orderBy("id")
-    val ranked = sigs.withColumn("__rn", row_number().over(w))
+    val ranked = buckets.withColumn("__rn", row_number().over(w))
     val observed = if (logDropped) withDroppedObserver("minhashPairs", ranked, "__rn", maxBucket) else ranked
     val capped = observed.filter(col("__rn") <= maxBucket).drop("__rn")
-    val a = capped.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = capped.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
-    val pairs = a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b")
+    // in-bucket pairs WITHOUT a renamed self-join (whose two branches would
+    // re-execute the whole signature pipeline — exchange reuse does not fire
+    // for renamed projections): the groupBy reuses the window's
+    // (band, bucket) partitioning, groups are <= maxBucket ids (bounded
+    // arrays), and the nested transform emits each i<j pair once.
+    val grouped = capped
+      .groupBy("band", "bucket")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    val pairs = grouped
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    pairs
+    // attach both signatures with ONE pass over the signature table: melt
+    // each pair into its two member ids, join, regroup. Pairs are few after
+    // banding+cap, so AQE broadcasts the melted side and the signature table
+    // streams without shuffling; with a pathological pair count it degrades
+    // to one shuffle of the signature table by id — still 16x less signature
+    // movement than banding the signatures themselves.
+    val sigTable = base
+      .select(col("id"), minhashSignature(col("shh"), numHashes).as("sig"))
+    val melted = pairs.select(
+      col("id_a"), col("id_b"), explode(array(col("id_a"), col("id_b"))).as("id"))
+    melted.join(sigTable, Seq("id"))
+      .groupBy("id_a", "id_b")
+      .agg(
+        first(when(col("id") === col("id_a"), col("sig")), ignoreNulls = true).as("sig_a"),
+        first(when(col("id") === col("id_b"), col("sig")), ignoreNulls = true).as("sig_b"))
       .withColumn(
         "est_jaccard",
         round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))

@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
+import scala.jdk.CollectionConverters._
+
 import graft.dedup.DocDedup
 
 class DocDedupSpec extends SparkSpec {
@@ -63,6 +65,31 @@ class DocDedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 100L)))
     // and nothing else: unrelated docs are far apart
     assert(pairs === Set((1L, 101L), (0L, 100L)))
+  }
+
+  test("bucket cap keeps lowest ids and observes dropped coverage on-job") {
+    // 5 identical docs share every (band, bucket); maxBucket=2 keeps ids
+    // {0,1} per bucket -> exactly pair (0,1) survives, and 3 rows/bucket x
+    // 16 bands = 48 dropped rows must be observed on the same job
+    val metrics = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.startsWith("graft.dropped.minhashPairs")) metrics.add(row.getLong(0))
+        }
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val same = (0 until 5).map(i => (i.toLong, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+      val pairs = DocDedup.minhashPairs(same, threshold = 0.5, maxBucket = 2)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(pairs === Set((0L, 1L)), s"cap must keep only the 2 lowest ids: $pairs")
+      // listener bus is async — poll for the observed metric
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (metrics.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(metrics.asScala.exists(_ === 48L), s"expected 48 dropped rows observed, got ${metrics.asScala.toList}")
+    } finally spark.listenerManager.unregister(listener)
   }
 
   test("md5Long64 matches the cross-engine anchor value") {
