@@ -410,6 +410,27 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    "q34_dedup_clusters" -> ((s, dir) => {
+      // planted duplicate CHAINS: two extra copies of docs 0-4 (at +off and
+      // +2*off) pairwise LSH-pair into triangles; cluster resolution must
+      // collapse each into ONE cluster rooted at the source with keep=true
+      // only there. The resolution runs over the FULL corpus pair graph
+      // (real near-dup pairs flow through the same closure); the id%off
+      // filter projects out exactly the planted families, whose membership
+      // and roots are invariant: no real doc id is below 5, so a real doc
+      // joining a planted cluster could never change its min-id root
+      // (docs 0-4 verified pairwise non-near-dup at the tested SFs)
+      val off = 1L << 40
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val copies = Seq(off, 2 * off).map(o =>
+        docs.filter(col("doc_id") < 5).select((col("doc_id") + o).as("doc_id"), col("text")))
+      graft.dedup.Clusters.dedupCorpus(
+        copies.foldLeft(docs)(_ unionByName _), threshold = 0.9)
+        .filter(pmod(col("id"), lit(off)) < 5)
+        .select(col("id"), col("cluster_id"), col("keep"))
+        .orderBy("id")
+    }),
+
     "q33_region_revenue" -> ((s, dir) => {
       // multi-way join (TPC-H Q5 shape): fact × supplier × 2 broadcast dims
       // with a selective region filter — the dims are broadcast explicitly
@@ -731,6 +752,18 @@ object SparkEntry {
            CASE WHEN strlen(text) = 0 THEN 0
                 ELSE CAST(1 + strlen(text) // 1024 AS INT) END AS frames_sampled
          FROM documents ORDER BY media_id""",
+
+    "q34_dedup_clusters" ->
+      // golden planted-chain clusters: sources 0-4 survive (keep), both
+      // copies label to the source root; off = 2^40, 2*off = 2^41
+      """SELECT id, cluster_id, keep FROM (VALUES
+           (CAST(0 AS BIGINT), CAST(0 AS BIGINT), true), (1, 1, true), (2, 2, true),
+           (3, 3, true), (4, 4, true),
+           (1099511627776, 0, false), (1099511627777, 1, false), (1099511627778, 2, false),
+           (1099511627779, 3, false), (1099511627780, 4, false),
+           (2199023255552, 0, false), (2199023255553, 1, false), (2199023255554, 2, false),
+           (2199023255555, 3, false), (2199023255556, 4, false))
+         t(id, cluster_id, keep) ORDER BY id""",
 
     "q33_region_revenue" ->
       """SELECT n_name,

@@ -1,0 +1,158 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Near-dup cluster resolution: candidate PAIRS (from MinHash/SimHash/ANN)
+  * → connected components → one survivor per cluster. The step a production
+  * dedup pipeline runs after pair generation: pairs alone cannot
+  * deduplicate a corpus — transitive duplicates (a–b, b–c ⇒ {a,b,c}) need
+  * closure before a keep/drop verdict exists.
+  *
+  * Algorithm: alternating large-star / small-star min-id propagation
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  * SoCC'14) — O(log² n) iterations worst case (2-3 typical for near-dup
+  * graphs, whose components are small and dense), each iteration a pair of
+  * keyed shuffles over the edge set. NEVER a driver-side union-find: edges
+  * stay distributed end to end, so 10^9 duplicate pairs resolve with the
+  * same plan shape as 10^3.
+  *
+  * Iteration state is parquet-checkpointed to a scratch directory each
+  * round (lineage truncation — the iterative-algorithm idiom this repo also
+  * uses in the crawl loop) rather than cached: a lazily-returned cached
+  * frame could never be safely unpersisted by the library.
+  */
+object Clusters {
+
+  /** One large-star operation: every node points its LARGER neighbors at
+    * the minimum of its neighborhood (including itself).
+    */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("src").as("u"), col("dst").as("v"))
+      .unionAll(edges.select(col("dst").as("u"), col("src").as("v")))
+    val w = Window.partitionBy("u")
+    sym
+      .withColumn("m", least(min(col("v")).over(w), col("u")))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("src"), col("m").as("dst"))
+      .distinct()
+  }
+
+  /** One small-star operation: every node links its SMALLER neighbors (and
+    * itself) to the minimum of those neighbors.
+    */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val oriented = edges.select(
+      greatest(col("src"), col("dst")).as("u"),
+      least(col("src"), col("dst")).as("v"))
+    val w = Window.partitionBy("u")
+    val withM = oriented.withColumn("m", min(col("v")).over(w))
+    withM
+      .filter(col("v") =!= col("m"))
+      .select(col("v").as("src"), col("m").as("dst"))
+      .unionAll(withM.select(col("u").as("src"), col("m").as("dst")))
+      .distinct()
+  }
+
+  /** Resolve duplicate-candidate pairs into connected components.
+    *
+    * @param pairs    edges, any two numeric-id columns (defaults match the
+    *                 pair emitters: id_a, id_b); direction/duplication/self
+    *                 loops are all tolerated
+    * @param maxIter  hard iteration bound — the algorithm is O(log² n)
+    *                 rounds worst case, so hitting this means the input is
+    *                 adversarial; fail loudly rather than return a partial
+    *                 closure that would silently under-deduplicate
+    * @return (id, cluster_id) for every node appearing in `pairs`, where
+    *         cluster_id is the MINIMUM id of the node's component (the
+    *         conventional survivor choice — stable, deterministic)
+    */
+  def resolveClusters(
+      pairs: DataFrame,
+      idColA: String = "id_a",
+      idColB: String = "id_b",
+      maxIter: Int = 50,
+      workDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    val scratch = workDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-cc").toString)
+
+    def checkpoint(df: DataFrame, iter: Int): DataFrame = {
+      val p = s"$scratch/iter-$iter"
+      df.write.mode("overwrite").parquet(p)
+      // previous iteration's files are no longer referenced by any plan
+      if (iter > 1) deleteRecursively(s"$scratch/iter-${iter - 1}")
+      spark.read.parquet(p)
+    }
+
+    // canonical edge set: (min, max), no self-loops, no duplicates
+    var edges = pairs
+      .select(
+        least(col(idColA).cast("long"), col(idColB).cast("long")).as("src"),
+        greatest(col(idColA).cast("long"), col(idColB).cast("long")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+
+    // iterate until the (canonical) edge set is stable: at the fixed point
+    // every component is a star rooted at its minimum id
+    var prev: Option[(Long, Long)] = None
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      iter += 1
+      edges = checkpoint(smallStar(largeStar(edges)), iter)
+      // order-insensitive set checksum on the SAME pass as the count
+      val row = edges.agg(
+        count(lit(1)), coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L))).head()
+      val sig = (row.getLong(0), row.getLong(1))
+      converged = prev.contains(sig)
+      prev = Some(sig)
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter iterations")
+
+    // star edges are (member, root); roots label themselves
+    edges.select(col("src").as("id"), col("dst").as("cluster_id"))
+      .unionAll(edges.select(col("dst").as("id"), col("dst").as("cluster_id")))
+      .distinct()
+  }
+
+  /** End-to-end corpus dedup: MinHash-LSH pairs → connected components →
+    * survivor per cluster. Docs in no pair form their own singleton cluster.
+    *
+    * @return (id, cluster_id, keep): keep=true exactly for the minimum id of
+    *         each cluster — filtering on keep yields the deduplicated corpus
+    */
+  def dedupCorpus(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      threshold: Double = 0.9,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      maxBucket: Int = 1000): DataFrame = {
+    val pairs = DocDedup.minhashPairs(
+      docs, idCol, textCol, numHashes = numHashes, bands = bands,
+      threshold = threshold, maxBucket = maxBucket)
+    val clusters = resolveClusters(pairs)
+    docs.select(col(idCol).cast("long").as("id"))
+      .join(clusters, Seq("id"), "left")
+      .select(
+        col("id"),
+        coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+      .withColumn("keep", col("id") === col("cluster_id"))
+  }
+
+  private def deleteRecursively(path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(p)) { stream =>
+        stream.sorted(java.util.Comparator.reverseOrder())
+          .iterator.asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+  }
+}
