@@ -5,7 +5,6 @@ import org.apache.spark.sql.functions._
 
 import graft.checkpoint.SnapshotStore
 import graft.dedup.UrlSeen
-import graft.extract.Extractors
 import graft.model.{HostState, PolitenessConfig}
 import graft.politeness.{Robots, Scheduler}
 
@@ -36,28 +35,17 @@ object CrawlJob {
 
   /** Expand seed combos (card_c, trans_c, date, seq) into frontier rows for
     * one provider, building the byte-exact provider URL (SURVEY.md §2#35-36)
-    * as pure column expressions.
+    * as pure column expressions. Provider behavior is resolved from the
+    * registry ([[graft.provider.Providers]]) — the spider-auto-discovery
+    * dual (client.py:44-46); pass `providers` to extend it.
     */
-  def expandSeeds(seeds: DataFrame, provider: String): DataFrame = {
-    val url = provider match {
-      case "Mastercard" =>
-        concat(
-          lit("https://www.mastercard.co.uk/settlement/currencyrate/fxDate="),
-          date_format(col("date"), "yyyy-MM-dd"),
-          lit(";transCurr="), col("trans_c"),
-          lit(";crdhldBillCurr="), col("card_c"),
-          lit(";bankFee=0.0;transAmt=1/conversion-rate"))
-      case "Visa" =>
-        concat(
-          lit("https://www.visa.co.uk/support/consumer/travel-support/exchange-rate-calculator.html"),
-          lit("?amount=1&fee=0.0&exchangedate=None&fromCurr="), col("card_c"),
-          lit("&toCurr="), col("trans_c"),
-          lit("&submitButton=Calculate+exchange+rate&date="),
-          regexp_replace(date_format(col("date"), "MM/dd/yyyy"), "/", "%2F"))
-      case other => throw new IllegalArgumentException(s"unknown provider: $other")
-    }
+  def expandSeeds(
+      seeds: DataFrame,
+      provider: String,
+      providers: Seq[graft.provider.Provider] = graft.provider.Providers.registry): DataFrame = {
+    val p = graft.provider.Providers.byName(provider, providers)
     seeds
-      .withColumn("url", url)
+      .withColumn("url", p.urlFor(col("card_c"), col("trans_c"), col("date")))
       .withColumn("canonUrl", canonicalUdf(col("url"))) // computed ONCE, carried as data
       .withColumn("urlHash", xxhash64(col("canonUrl")))
       .withColumn("host", hostCol(col("url")))
@@ -110,7 +98,8 @@ object CrawlJob {
       allowedDomains: Seq[String] = Nil,
       bloomParts: Int = 32,
       bloomCapacityPerPart: Long = 1L << 18,
-      compactEvery: Int = 64): (DataFrame, DataFrame, DataFrame) = {
+      compactEvery: Int = 64,
+      providers: Seq[graft.provider.Provider] = graft.provider.Providers.registry): (DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
     val store = new SnapshotStore(checkpointDir)
     val bloomDir = s"$checkpointDir/blooms"
@@ -169,8 +158,10 @@ object CrawlJob {
       UrlSeen.writeBloomRound(bloomDir, round)
     }
 
-    val providerId =
-      when(col("provider") === "Mastercard", MastercardId).otherwise(VisaId)
+    // 1-based registry id (client.py:86-88 seeding order); all provider-
+    // specific behavior below routes through the registry, so a new provider
+    // never touches this loop (the reference's one extension point)
+    val providerId = graft.provider.Providers.idCol(col("provider"), providers)
 
     // ---- rounds ------------------------------------------------------------
     // no robots rules at all (common in tests/bench) ⇒ skip the gate's
@@ -241,10 +232,11 @@ object CrawlJob {
         col("provider"), col("priority"), col("seq"), col("retries"),
         providerId.as("provider_id"),
         col("text").isNotNull.as("hit"),
-        (col("provider") === "Mastercard" && col("text").isNotNull &&
-          Extractors.mcIsError(col("text"))).as("is_err"),
-        when(col("provider") === "Mastercard", Extractors.mcRate(col("text")))
-          .otherwise(Extractors.visaRate(col("text"))).as("rate"))
+        (col("text").isNotNull && coalesce(
+          graft.provider.Providers.route(col("provider"), providers)(_.isError(col("text"))),
+          lit(false))).as("is_err"),
+        graft.provider.Providers.route(col("provider"), providers)(_.extractRate(col("text")))
+          .as("rate"))
         .cache()
       extracted.count() // one streaming pass fills the (slim) cache
 

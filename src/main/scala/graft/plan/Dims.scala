@@ -33,14 +33,12 @@ object Dims {
     * MC settlement-currencies JSON or the Visa calculator options HTML
     * (SURVEY.md §2 #5-6).
     */
-  def currenciesFromPage(pages: DataFrame, provider: String): DataFrame = {
-    import graft.extract.Extractors
-    val arr = provider match {
-      case "Mastercard" => Extractors.mcCurrencies(col("text"))
-      case "Visa" => Extractors.visaCurrencies(col("text"))
-      case other => throw new IllegalArgumentException(s"unknown provider: $other")
-    }
-    pages.select(explode(arr).as("c"))
+  def currenciesFromPage(
+      pages: DataFrame,
+      provider: String,
+      providers: Seq[graft.provider.Provider] = graft.provider.Providers.registry): DataFrame = {
+    val p = graft.provider.Providers.byName(provider, providers)
+    pages.select(explode(p.currencies(col("text"))).as("c"))
       .select(col("c.alpha_code").as("alpha_code"), col("c.name").as("name"))
       .dropDuplicates("alpha_code")
   }
