@@ -42,4 +42,24 @@ object Dims {
       .select(col("c.alpha_code").as("alpha_code"), col("c.name").as("name"))
       .dropDuplicates("alpha_code")
   }
+
+  /** The provider's available currency codes in PAGE ORDER — the dual of
+    * `fetch_avail_currs()` (client.py:98-104, MCSpider.py:91-95): the
+    * reference returns a dict whose insertion order is the page's option
+    * order, and that order feeds the itertools.product seed enumeration.
+    * First occurrence wins for duplicated codes. Collected to the driver —
+    * a currency dimension is a few hundred rows by nature.
+    */
+  def availCurrencies(
+      pages: DataFrame,
+      provider: String,
+      providers: Seq[graft.provider.Provider] = graft.provider.Providers.registry): Seq[String] = {
+    val p = graft.provider.Providers.byName(provider, providers)
+    pages.select(posexplode(p.currencies(col("text"))).as(Seq("pos", "c")))
+      .select(col("pos"), col("c.alpha_code").as("code"))
+      .groupBy("code").agg(min("pos").as("pos"))
+      .orderBy("pos")
+      .select("code")
+      .collect().map(_.getString(0)).toSeq
+  }
 }

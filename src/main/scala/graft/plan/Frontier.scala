@@ -84,6 +84,29 @@ object Frontier {
     candidates.join(existing, Seq("card_c", "trans_c", "date"), "left_anti")
   }
 
+  /** The `missing` planner with the REFERENCE'S DEFAULTS (client.py:92-104):
+    * `num_days` defaults to 363, `end` to `current_date()` (the US/Eastern
+    * 2pm-cutoff crawl date of `now`), and the currency set to the provider's
+    * live `fetch_avail_currs()` — here the currency-dimension page rows in
+    * `dimPages`, in page order. Explicit arguments override, as in the
+    * reference signature.
+    */
+  def missingWithDefaults(
+      spark: SparkSession,
+      rates: DataFrame,
+      providers: DataFrame,
+      provider: String,
+      dimPages: DataFrame,
+      now: java.time.Instant,
+      numDays: Int = 363,
+      end: Option[LocalDate] = None,
+      currs: Option[Seq[String]] = None): DataFrame = {
+    val endDate = end.getOrElse(graft.functions.DateFns.currentCrawlDate(now))
+    val currList = currs.getOrElse(graft.plan.Dims.availCurrencies(dimPages, provider))
+    val cands = candidates(currencyDim(spark, currList), endDate, numDays)
+    missing(cands, rates, providers, provider, endDate, numDays, currList)
+  }
+
   /** Exact, scalable global rank 0..n-1 by `orderCol` (no single-partition
     * window): range-repartition on the order column, count rows per
     * partition, broadcast the cumulative offsets, then rank = per-partition

@@ -64,6 +64,116 @@ object Streams {
       .agg(count(lit(1)).as("fetches"), sum("bytes").as("bytes"))
       .select(col("window.start").as("window_start"), col("host"), col("fetches"), col("bytes"))
 
+  // ------------------------------------------------- streaming crawl slice
+
+  /** End-to-end streaming slice (VERDICT r02 #6): seed CSV shards arriving
+    * in a directory → [[ingestSeeds]] → per-micro-batch crawl round
+    * committed to a [[graft.checkpoint.SnapshotStore]] via `foreachBatch`.
+    *
+    * Exactly-once composition: Structured Streaming's checkpoint makes
+    * batch ids stable across restarts, and every manifest commit records
+    * the batch ids it contains — a replayed batch (crash after the store
+    * commit but before the stream checkpoint advanced) is detected and
+    * skipped, so a kill-and-resume run is bit-equivalent to an
+    * uninterrupted one (StreamsSpec proves seen/rates ≡ the batch crawl of
+    * the same seeds).
+    */
+  def crawlStream(
+      spark: org.apache.spark.sql.SparkSession,
+      seedDir: String,
+      pages: DataFrame,
+      streamCheckpointDir: String,
+      storeDir: String,
+      provider: String = "Mastercard",
+      providers: Seq[graft.provider.Provider] = graft.provider.Providers.registry)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val raw = spark.readStream
+      .schema("card_c STRING, trans_c STRING, date STRING")
+      .csv(seedDir)
+    ingestSeeds(raw).writeStream
+      .option("checkpointLocation", streamCheckpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        processSeedBatch(batch.toDF, batchId, pages, storeDir, provider, providers)
+      }
+      .start()
+  }
+
+  /** One micro-batch = one crawl round: expand → dedup (within batch + vs
+    * the store's seen set) → fetch-join → extract → set-difference rates
+    * append → ONE atomic manifest commit carrying the batch id. Idempotent
+    * per batch id (the exactly-once half the stream checkpoint can't give).
+    */
+  private[graft] def processSeedBatch(
+      batch: DataFrame,
+      batchId: Long,
+      pages: DataFrame,
+      storeDir: String,
+      provider: String,
+      providers: Seq[graft.provider.Provider]): Unit = {
+    import graft.crawl.CrawlJob
+    import graft.dedup.UrlSeen
+    val spark = batch.sparkSession
+    val store = new graft.checkpoint.SnapshotStore(storeDir)
+    val resume = store.readCurrent()
+    def paths(key: String): Seq[String] = resume.flatMap(_._2.get(key))
+      .map(_.split(";").toIndexedSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val doneBatches = resume.flatMap(_._2.get("batches"))
+      .map(_.split(";").filter(_.nonEmpty).map(_.toLong).toSet).getOrElse(Set.empty[Long])
+    if (doneBatches.contains(batchId)) return // replayed after crash — already committed
+    var seenPaths = paths("seen")
+    var ratesPaths = paths("rates")
+    def emptyDf(ddl: String): DataFrame = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    val seenDf =
+      if (seenPaths.isEmpty) emptyDf("urlHash BIGINT, url STRING, round INT")
+      else spark.read.parquet(seenPaths: _*)
+    val ratesDf =
+      if (ratesPaths.isEmpty)
+        emptyDf("card_code STRING, trans_code STRING, date DATE, provider_id INT, rate DOUBLE")
+      else spark.read.parquet(ratesPaths: _*)
+
+    // seq is a scheduling-order key; a stream batch has no file order, so
+    // key deterministically on the seed itself (set semantics are what the
+    // store guarantees — ordering inside one micro-batch is not meaningful)
+    val withSeq = batch.withColumn(
+      "seq", xxhash64(col("card_c"), col("trans_c"), col("date")))
+    val frontier = CrawlJob.expandSeeds(withSeq, provider, providers)
+    val fresh = UrlSeen.filterNewExact(UrlSeen.dedupWithinBatch(frontier), seenDf)
+    val fetched = fresh.hint("shuffle_hash")
+      .join(pages.select(col("url"), col("text")), Seq("url"), "left")
+    val extracted = fetched.select(
+      col("canonUrl"), col("urlHash"), col("card_c"), col("trans_c"), col("date"),
+      graft.provider.Providers.idCol(col("provider"), providers).as("provider_id"),
+      col("text").isNotNull.as("hit"),
+      (col("text").isNotNull && coalesce(
+        graft.provider.Providers.route(col("provider"), providers)(_.isError(col("text"))),
+        lit(false))).as("is_err"),
+      graft.provider.Providers.route(col("provider"), providers)(_.extractRate(col("text")))
+        .as("rate"))
+    val parsed = extracted.filter(col("hit") && !col("is_err"))
+      .select(col("card_c").as("card_code"), col("trans_c").as("trans_code"),
+        col("date"), col("provider_id"), col("rate"))
+      .dropDuplicates("card_code", "trans_code", "date", "provider_id")
+    val newRates = parsed.join(
+      ratesDf.select("card_code", "trans_code", "date", "provider_id"),
+      Seq("card_code", "trans_code", "date", "provider_id"), "left_anti")
+    val seenDelta = fresh.select(
+      col("urlHash"), col("canonUrl").as("url"), lit(batchId.toInt + 1).as("round"))
+
+    val version = resume.map(_._1).getOrElse(0) + 1
+    val seenPath = store.dataPath("seen", version)
+    val ratesPath = store.dataPath("rates", version)
+    seenDelta.write.mode("overwrite").parquet(seenPath)
+    newRates.write.mode("overwrite").parquet(ratesPath)
+    seenPaths = seenPaths :+ seenPath
+    ratesPaths = ratesPaths :+ ratesPath
+    store.commit(version, Map(
+      "seen" -> seenPaths.mkString(";"),
+      "rates" -> ratesPaths.mkString(";"),
+      "batches" -> (doneBatches + batchId).toSeq.sorted.mkString(";")))
+  }
+
   // ------------------------------------------------ stateful host sessions
 
   final case class FetchEvent(host: String, ts: Timestamp, latencyMs: Long)

@@ -91,6 +91,41 @@ class FrontierSpec extends SparkSpec {
     assert(lines.get(0).matches("""[A-Z]{3},[A-Z]{3},\d{2}/\d{2}/\d{4}"""), lines.get(0))
   }
 
+  test("missingWithDefaults mirrors the reference defaults (client.py:92-104)") {
+    import graft.synth.Synth
+    // currs default: MC settlement-currencies dimension page, page order
+    val dimPages = Seq(Synth.mcCurrencyPage(Seq("GBP", "USD"))).toDF("text")
+    // end default: crawl date of `now` under the US/Eastern 2pm cutoff —
+    // 1995-09-11 17:00 UTC = 13:00 ET, before 2pm => crawl date 1995-09-10
+    val now = java.time.Instant.parse("1995-09-11T17:00:00Z")
+    val out = Frontier.missingWithDefaults(
+      spark, ratesFixture, providers, "Mastercard", dimPages, now, numDays = 8)
+      .select("card_c", "trans_c", "date")
+      .as[(String, String, Date)].collect().map { case (c, t, d) => (c, t, d.toString) }.toSet
+    val expected = Set(
+      ("GBP", "USD", "1995-09-07"), ("GBP", "USD", "1995-09-08"), ("GBP", "USD", "1995-09-09"),
+      ("USD", "GBP", "1995-09-10"), ("USD", "GBP", "1995-09-07"), ("USD", "GBP", "1995-09-08"),
+      ("USD", "GBP", "1995-09-09"))
+    assert(out === expected)
+    // num_days defaults to 363: 2 ordered pairs x 363 dates minus the 9
+    // provider-1 fixture rows inside the window
+    val dflt = Frontier.missingWithDefaults(
+      spark, ratesFixture, providers, "Mastercard", dimPages, now)
+    assert(dflt.count() === 2 * 363 - 9)
+    // explicit overrides win, as in the reference signature
+    val explicitCurrs = Frontier.missingWithDefaults(
+      spark, ratesFixture, providers, "Mastercard", dimPages, now,
+      numDays = 8, currs = Some(Seq("GBP", "EUR")))
+      .select("card_c").distinct().as[String].collect().toSet
+    assert(explicitCurrs === Set("GBP", "EUR"))
+  }
+
+  test("availCurrencies preserves page order with first-occurrence dedup") {
+    val pages = Seq(graft.synth.Synth.visaCurrencyPage(Seq("USD", "GBP", "USD", "AUD")))
+      .toDF("text")
+    assert(graft.plan.Dims.availCurrencies(pages, "Visa") === Seq("USD", "GBP", "AUD"))
+  }
+
   test("withShard leaks no cached RDDs across repeated calls") {
     val currs = Frontier.currencyDim(spark, Seq("GBP", "USD"))
     val cands = Frontier.candidates(currs, testDate, 8)

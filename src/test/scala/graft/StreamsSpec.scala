@@ -85,6 +85,75 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming crawl slice: two chunks with a crash between ≡ batch crawl") {
+    import graft.crawl.CrawlJob
+    import graft.model.PolitenessConfig
+    import graft.synth.Synth
+    val seedDir = java.nio.file.Files.createTempDirectory("stream-seeds").toString
+    val streamCkpt = java.nio.file.Files.createTempDirectory("stream-ckpt").toString
+    val storeDir = java.nio.file.Files.createTempDirectory("stream-store").toString
+    // the synthetic web covers every seed either chunk will deliver
+    val allSeeds = Seq(
+      ("GBP", "USD", java.sql.Date.valueOf("1995-09-10"), 0L),
+      ("USD", "GBP", java.sql.Date.valueOf("1995-09-10"), 1L),
+      ("GBP", "USD", java.sql.Date.valueOf("1995-09-09"), 2L))
+      .toDF("card_c", "trans_c", "date", "seq")
+    val pages = Synth.mcPages(allSeeds)
+
+    // chunk 1 (with an in-batch duplicate row), then "crash" (stop the query)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$seedDir/chunk1.csv"),
+      "GBP,USD,10/09/1995\nUSD,GBP,10/09/1995\nGBP,USD,10/09/1995\n")
+    val q1 = Streams.crawlStream(spark, seedDir, pages, streamCkpt, storeDir)
+    q1.processAllAvailable(); q1.stop()
+
+    // chunk 2: one new seed + one cross-chunk duplicate; resume from the
+    // same stream checkpoint + store
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$seedDir/chunk2.csv"),
+      "GBP,USD,09/09/1995\nUSD,GBP,10/09/1995\n")
+    val q2 = Streams.crawlStream(spark, seedDir, pages, streamCkpt, storeDir)
+    q2.processAllAvailable(); q2.stop()
+
+    val store = new graft.checkpoint.SnapshotStore(storeDir)
+    val man = store.readCurrent().get._2
+    def readChain(key: String) =
+      spark.read.parquet(man(key).split(";").filter(_.nonEmpty).toIndexedSeq: _*)
+    val streamRates = readChain("rates")
+      .select("card_code", "trans_code", "date", "provider_id", "rate")
+      .as[(String, String, java.sql.Date, Int, Double)].collect().toSet
+    val streamSeen = readChain("seen").select("url").as[String].collect().toSeq
+
+    // the batch crawl of the same seed set
+    val robots = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL("host STRING, pathPrefix STRING, allow BOOLEAN"))
+    val batchCkpt = java.nio.file.Files.createTempDirectory("batch-ckpt").toString
+    val (batchRates, batchSeen, _) = CrawlJob.run(
+      spark, CrawlJob.expandSeeds(allSeeds, "Mastercard"), pages, robots, batchCkpt,
+      PolitenessConfig(), roundSec = 10.0, maxRounds = 10)
+    assert(streamRates === batchRates
+      .as[(String, String, java.sql.Date, Int, Double)].collect().toSet)
+    assert(streamSeen.sorted === batchSeen.select("url").as[String].collect().toSeq.sorted)
+    assert(streamSeen.length === streamSeen.distinct.length, "cross-chunk dup leaked into seen")
+  }
+
+  test("replayed micro-batch (crash between store commit and stream checkpoint) is a no-op") {
+    import graft.synth.Synth
+    val storeDir = java.nio.file.Files.createTempDirectory("replay-store").toString
+    val seeds = Seq(("GBP", "USD", java.sql.Date.valueOf("1995-09-10"), 0L))
+      .toDF("card_c", "trans_c", "date", "seq")
+    val pages = Synth.mcPages(seeds)
+    val batch = seeds.select("card_c", "trans_c", "date")
+    Streams.processSeedBatch(batch, 0L, pages, storeDir, "Mastercard",
+      graft.provider.Providers.registry)
+    val store = new graft.checkpoint.SnapshotStore(storeDir)
+    val v1 = store.currentVersion()
+    Streams.processSeedBatch(batch, 0L, pages, storeDir, "Mastercard",
+      graft.provider.Providers.registry) // replay of the SAME batch id
+    assert(store.currentVersion() === v1, "replayed batch must not commit again")
+  }
+
   test("seed ingest parses the frontier CSV dialect") {
     val raw = Seq(("GBP", "USD", "07/09/1995")).toDF("card_c", "trans_c", "date")
     val out = Streams.ingestSeeds(raw).as[(String, String, java.sql.Date)].head()
