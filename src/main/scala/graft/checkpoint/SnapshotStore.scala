@@ -71,11 +71,30 @@ final class SnapshotStore(rootDir: String) {
 
   /** All committed versions, ascending — the lineage chain. */
   def versions(): Seq[Int] =
-    Files.list(manifests).iterator.asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
-        s.stripPrefix("v").stripSuffix(".json").toInt }
-      .toSeq.sorted
+    scala.util.Using.resource(Files.list(manifests)) { stream =>
+      stream.iterator.asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+          s.stripPrefix("v").stripSuffix(".json").toInt }
+        .toSeq.sorted
+    }
+
+  /** Drop every committed table and manifest (the `drop_all_tables` /
+    * `drop_database` admin surface, reference client.py:183-187) — the
+    * store returns to the just-constructed empty state: `readCurrent()`
+    * is None and the next commit starts a fresh lineage.
+    */
+  def dropAll(): Unit = {
+    def deleteTree(p: Path): Unit =
+      if (Files.exists(p))
+        scala.util.Using.resource(Files.walk(p)) { stream =>
+          stream.sorted(java.util.Comparator.reverseOrder())
+            .iterator.asScala.foreach(Files.deleteIfExists(_))
+        }
+    deleteTree(root.resolve("data"))
+    deleteTree(manifests)
+    Files.createDirectories(manifests)
+  }
 
   private def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
 }

@@ -29,6 +29,23 @@ class CheckpointSpec extends SparkSpec {
     assert(store.versions() === Seq(1, 2))
   }
 
+  test("SnapshotStore.dropAll: store returns to the empty state (drop_all_tables dual)") {
+    val dir = Files.createTempDirectory("snapdrop").toString
+    val store = new SnapshotStore(dir)
+    val dataDir = store.dataPath("rates", 1)
+    Files.createDirectories(java.nio.file.Paths.get(dataDir))
+    Files.writeString(java.nio.file.Paths.get(dataDir, "part-0.parquet"), "x")
+    store.commit(1, Map("rates" -> dataDir))
+    assert(store.currentVersion() === Some(1))
+    store.dropAll()
+    assert(store.currentVersion() === None)
+    assert(store.versions() === Seq())
+    assert(!Files.exists(java.nio.file.Paths.get(dataDir)))
+    // a fresh lineage starts cleanly after the drop
+    store.commit(1, Map("rates" -> "/data/new"))
+    assert(store.readCurrent() === Some((1, Map("rates" -> "/data/new"))))
+  }
+
   private def smallCrawlInputs() = {
     val currs = Frontier.currencyDim(spark, Seq("GBP", "USD", "EUR", "JPY"))
     val seeds = Frontier.candidates(currs, java.time.LocalDate.of(1995, 9, 10), 4)
