@@ -36,7 +36,7 @@ object Ann {
     *         ties broken by vec_id for determinism
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
+    val scored = graft.util.Par.spread(corpus).crossJoin(broadcast(queries))
       .withColumn("cosine", round(cosine(col("q_embedding"), col("embedding")), 6))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
     scored
@@ -74,7 +74,8 @@ object Ann {
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       bits: Int = 12, tables: Int = 4): DataFrame = {
-    val corpusB = corpus.withColumn("bucket", explodedBuckets("embedding", bits, tables))
+    val corpusB = graft.util.Par.spread(corpus)
+      .withColumn("bucket", explodedBuckets("embedding", bits, tables))
     val queriesB = queries.withColumn("bucket", explodedBuckets("q_embedding", bits, tables))
     val candidates = corpusB.join(broadcast(queriesB), Seq("bucket"))
       .dropDuplicates("query_id", "vec_id")
@@ -88,26 +89,23 @@ object Ann {
 
   /** Embedding-cosine near-duplicate pairs (dedup use-case): LSH buckets →
     * within-bucket pairs → exact cosine ≥ threshold.
+    *
+    * Same slim-stream shape as `DocDedup.minhashPairs`: candidate generation
+    * moves only (id, bucket) rows — embeddings never ride the table explode,
+    * the cap window, or the observer barrier, and there is no renamed
+    * self-join (which would re-execute the signature pipeline twice); the
+    * vectors are joined back onto the few surviving pairs instead.
     */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String = "vec_id",
       threshold: Double = 0.95, bits: Int = 12, tables: Int = 4,
       maxBucket: Int = 2000, logDropped: Boolean = true): DataFrame = {
-    val bucketed = corpus.select(
-      col(idCol).as("id"), col("embedding"),
-      explodedBuckets("embedding", bits, tables).as("bucket"))
-    // the cap is never silent: dropped coverage is observed on the same job
-    val w = Window.partitionBy("bucket").orderBy("id")
-    val ranked = bucketed.withColumn("__rn", row_number().over(w))
-    val observed =
-      if (logDropped)
-        graft.dedup.DocDedup.withDroppedObserver("cosineNearDupPairs", ranked, "__rn", maxBucket)
-      else ranked
-    val capped = observed.filter(col("__rn") <= maxBucket).drop("__rn")
-    val a = capped.select(col("bucket"), col("id").as("id_a"), col("embedding").as("emb_a"))
-    val b = capped.select(col("bucket"), col("id").as("id_b"), col("embedding").as("emb_b"))
-    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("cosine", round(cosine(col("emb_a"), col("emb_b")), 6))
+    val base = graft.util.Par.spread(corpus).select(col(idCol).as("id"), col("embedding"))
+    val bucketed = base.select(
+      col("id"), explodedBuckets("embedding", bits, tables).as("bucket"))
+    val pairs = graft.dedup.DocDedup.cappedBucketPairs(
+      bucketed, Seq("bucket"), maxBucket, logDropped, "cosineNearDupPairs")
+    graft.dedup.DocDedup.attachPairSides(pairs, base, "embedding")
+      .withColumn("cosine", round(cosine(col("embedding_a"), col("embedding_b")), 6))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

@@ -120,6 +120,58 @@ object DocDedup {
       coalesce(sum(when(col(rnCol) > maxBucket, 1L).otherwise(0L)), lit(0L)).as("dropped"))
   }
 
+  /** The shared candidate-pair skeleton for bucketed near-dup methods:
+    * a SLIM (id, bucket keys…) stream is ranked per bucket, capped (with the
+    * dropped coverage observed on the same job), and turned into i<j pairs
+    * WITHOUT a renamed self-join — the groupBy reuses the window's
+    * partitioning (no extra exchange), groups are ≤ maxBucket ids (bounded
+    * arrays), and the nested transform emits each pair once. Fat payload
+    * columns (signatures, embeddings) must NOT be in `bucketed` — callers
+    * attach them to the surviving pairs afterwards (see [[attachPairSides]]).
+    * row_number (not collect_list-then-slice) for the cap so a degenerate
+    * bucket of any size streams through the rank instead of materializing.
+    */
+  private[graft] def cappedBucketPairs(
+      bucketed: DataFrame, // (id, <bucketCols…>)
+      bucketCols: Seq[String],
+      maxBucket: Int,
+      logDropped: Boolean,
+      op: String): DataFrame = {
+    val w = Window.partitionBy(bucketCols.map(col): _*).orderBy("id")
+    val ranked = bucketed.withColumn("__rn", row_number().over(w))
+    val observed = if (logDropped) withDroppedObserver(op, ranked, "__rn", maxBucket) else ranked
+    val capped = observed.filter(col("__rn") <= maxBucket).drop("__rn")
+    capped
+      .groupBy(bucketCols.map(col): _*)
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Attach a per-id payload column to both sides of a pair frame with ONE
+    * pass over the payload table: melt each pair into its two member ids,
+    * join, regroup. Pairs are few after banding+cap, so AQE broadcasts the
+    * melted side and the payload table streams without shuffling; with a
+    * pathological pair count it degrades to one shuffle of the payload by
+    * id — still far less payload movement than bucketing the payloads.
+    */
+  private[graft] def attachPairSides(
+      pairs: DataFrame, // (id_a, id_b)
+      payload: DataFrame, // (id, <valueCol>)
+      valueCol: String): DataFrame = {
+    val melted = pairs.select(
+      col("id_a"), col("id_b"), explode(array(col("id_a"), col("id_b"))).as("id"))
+    melted.join(payload, Seq("id"))
+      .groupBy("id_a", "id_b")
+      .agg(
+        first(when(col("id") === col("id_a"), col(valueCol)), ignoreNulls = true).as(s"${valueCol}_a"),
+        first(when(col("id") === col("id_b"), col(valueCol)), ignoreNulls = true).as(s"${valueCol}_b"))
+  }
+
   def minhashPairs(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -131,66 +183,27 @@ object DocDedup {
       logDropped: Boolean = true): DataFrame = {
     val rowsPerBand = numHashes / bands
     // the signature map (shingle → hash once → numHashes permutations) is
-    // the expensive per-row kernel; a tiny input (few parquet splits) would
-    // otherwise run it at scan parallelism — spread it across the cluster.
-    // At real scale the scan already yields >= defaultParallelism splits and
-    // this is a no-op (no shuffle is ever added for large inputs).
-    val p = docs.sparkSession.sparkContext.defaultParallelism
-    val spread = if (docs.rdd.getNumPartitions < p) docs.repartition(p) else docs
-    // each select is a REQUIRED materialization boundary (see
-    // minhashSignature scaladoc — lambda bodies defeat CSE)
-    val base = spread.select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
+    // the expensive per-row kernel — spread it across the cluster when the
+    // input scan has fewer splits than cores (no-op at real scale).
+    // Each select is a REQUIRED materialization boundary (see
+    // minhashSignature scaladoc — lambda bodies defeat CSE).
+    val base = graft.util.Par.spread(docs)
+      .select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
       .select(col("id"), shingleHashes(col("sh")).as("shh"))
     // SLIM bucket stream: the fat numHashes-long signature never rides the
     // band explode (16 copies/doc), the window, the observer barrier, or any
     // shuffle — candidate generation moves only (id, band, bucket) rows.
-    // The signature is recomputed once at the end and attached ONLY to
-    // surviving candidate pairs (two signature map passes total; the naive
-    // carry-the-signature shape instead shuffles 16 copies of every
-    // signature and pins them through the CollectMetrics barrier — the
-    // measured 2.5x q27 regression in round 2).
+    // (Carrying the signature instead was the measured 2.5x q27 regression
+    // in round 2.)
     val buckets = base
       .withColumn("sig", minhashSignature(col("shh"), numHashes))
       .select(col("id"), explode(lshBuckets(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-    // cap pathological buckets (boilerplate): keep the maxBucket lowest ids;
-    // the cap is NEVER silent — dropped coverage is observed on the same job.
-    // row_number (not collect_list-then-slice) so a degenerate bucket of any
-    // size streams through the rank instead of materializing as one array.
-    val w = Window.partitionBy("band", "bucket").orderBy("id")
-    val ranked = buckets.withColumn("__rn", row_number().over(w))
-    val observed = if (logDropped) withDroppedObserver("minhashPairs", ranked, "__rn", maxBucket) else ranked
-    val capped = observed.filter(col("__rn") <= maxBucket).drop("__rn")
-    // in-bucket pairs WITHOUT a renamed self-join (whose two branches would
-    // re-execute the whole signature pipeline — exchange reuse does not fire
-    // for renamed projections): the groupBy reuses the window's
-    // (band, bucket) partitioning, groups are <= maxBucket ids (bounded
-    // arrays), and the nested transform emits each i<j pair once.
-    val grouped = capped
-      .groupBy("band", "bucket")
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) >= 2)
-    val pairs = grouped
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))),
-          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    // attach both signatures with ONE pass over the signature table: melt
-    // each pair into its two member ids, join, regroup. Pairs are few after
-    // banding+cap, so AQE broadcasts the melted side and the signature table
-    // streams without shuffling; with a pathological pair count it degrades
-    // to one shuffle of the signature table by id — still 16x less signature
-    // movement than banding the signatures themselves.
+    val pairs = cappedBucketPairs(buckets, Seq("band", "bucket"), maxBucket, logDropped, "minhashPairs")
+    // recompute the signature once and attach it ONLY to surviving pairs
     val sigTable = base
       .select(col("id"), minhashSignature(col("shh"), numHashes).as("sig"))
-    val melted = pairs.select(
-      col("id_a"), col("id_b"), explode(array(col("id_a"), col("id_b"))).as("id"))
-    melted.join(sigTable, Seq("id"))
-      .groupBy("id_a", "id_b")
-      .agg(
-        first(when(col("id") === col("id_a"), col("sig")), ignoreNulls = true).as("sig_a"),
-        first(when(col("id") === col("id_b"), col("sig")), ignoreNulls = true).as("sig_b"))
+    attachPairSides(pairs, sigTable, "sig")
       .withColumn(
         "est_jaccard",
         round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
