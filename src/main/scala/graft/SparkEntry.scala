@@ -410,6 +410,20 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    "q35_ann_ivf_fullprobe" -> ((s, dir) => {
+      // IVF with nProbe = nLists probes every inverted list, so the
+      // candidate set is the full corpus and the result must be EXACTLY the
+      // brute-force top-k — which DuckDB recomputes independently. This
+      // puts the whole IVF path (deterministic k-means training, nearest-
+      // list assignment, probe-list explode, bucket join, ranking) under a
+      // real cross-engine oracle, not a golden list.
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      graft.ann.Ann.ivfTopK(queries, emb, k = 5, nLists = 8, nProbe = 8)
+        .orderBy("query_id", "rank")
+    }),
+
     "q34_dedup_clusters" -> ((s, dir) => {
       // planted duplicate CHAINS: two extra copies of docs 0-4 (at +off and
       // +2*off) pairwise LSH-pair into triangles; cluster resolution must
@@ -752,6 +766,20 @@ object SparkEntry {
            CASE WHEN strlen(text) = 0 THEN 0
                 ELSE CAST(1 + strlen(text) // 1024 AS INT) END AS frames_sampled
          FROM documents ORDER BY media_id""",
+
+    "q35_ann_ivf_fullprobe" ->
+      // identical to the q22 brute-force oracle: full-probe IVF must return
+      // exactly the exact top-k
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+                    FROM embeddings WHERE vec_id < 3),
+         scored AS (SELECT query_id, vec_id,
+                           round(list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])), 6) AS cosine
+                    FROM embeddings CROSS JOIN q)
+         SELECT query_id, vec_id, cosine, rank FROM (
+           SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, vec_id) AS INT) AS rank
+           FROM scored)
+         WHERE rank <= 5 ORDER BY query_id, rank""",
 
     "q34_dedup_clusters" ->
       // golden planted-chain clusters: sources 0-4 survive (keep), both

@@ -87,6 +87,101 @@ object Ann {
       .select("query_id", "vec_id", "cosine", "rank")
   }
 
+  // ------------------------------------------------------------------ IVF
+
+  /** Squared L2 distance between a vector column and a centroid literal. */
+  private def distSq(emb: Column, c: Array[Double]): Column =
+    aggregate(
+      zip_with(emb, typedLit(c), (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Index of the nearest centroid (first wins on ties — deterministic). */
+  private def nearestListExpr(emb: Column, cents: Array[Array[Double]]): Column = {
+    val dists = array(cents.map(c => distSq(emb, c)): _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** The `nProbe` nearest list ids, nearest first (struct sort on
+    * (distance, list) — deterministic ties).
+    */
+  private def probeListsExpr(emb: Column, cents: Array[Array[Double]], nProbe: Int): Column =
+    transform(
+      slice(array_sort(array(cents.indices.map(i =>
+        struct(distSq(emb, cents(i)).as("d"), lit(i).as("l"))): _*)), 1, nProbe),
+      s => s.getField("l"))
+
+  /** Train IVF coarse centroids: Lloyd's k-means on a deterministic sample
+    * (the `trainSample` lowest-hash vectors — IVF quantizers are always
+    * trained on a sample, so the 100 TB cost is one slim global sort of
+    * (hash, id) plus `iters` passes over the SAMPLE only). The model is
+    * nLists × dim doubles — driver/broadcast sized by construction. Lists
+    * that lose all members keep their previous centroid. Fully
+    * deterministic: same corpus → same centroids on any cluster.
+    */
+  def ivfCentroids(
+      corpus: DataFrame,
+      nLists: Int,
+      iters: Int = 5,
+      idCol: String = "vec_id",
+      trainSample: Int = 100000): Array[Array[Double]] = {
+    val train = corpus
+      .select(xxhash64(col(idCol)).as("__h"), col("embedding").cast("array<double>").as("emb"))
+      .orderBy("__h")
+      .limit(trainSample)
+      .cache()
+    try {
+      var cents = train.orderBy("__h").limit(nLists)
+        .select("emb").collect().map(_.getSeq[Double](0).toArray)
+      require(cents.nonEmpty, "IVF training needs a non-empty corpus")
+      for (_ <- 1 to iters) {
+        // per-(list, dim) mean via posexplode: nLists × dim rows to the
+        // driver — model-sized, never data-sized
+        val stats = train
+          .select(nearestListExpr(col("emb"), cents).as("l"),
+            posexplode(col("emb")).as(Seq("pos", "v")))
+          .groupBy("l", "pos").agg(sum("v").as("s"), count(lit(1)).as("c"))
+          .collect()
+          .groupBy(_.getInt(0))
+        cents = cents.zipWithIndex.map { case (old, l) =>
+          stats.get(l) match {
+            case Some(rows) =>
+              val dim = old.length
+              val next = new Array[Double](dim)
+              rows.foreach(r => next(r.getInt(1)) = r.getDouble(2) / r.getLong(3))
+              next
+            case None => old // empty list keeps its centroid
+          }
+        }
+      }
+      cents
+    } finally train.unpersist()
+  }
+
+  /** IVF approximate top-k — the inverted-file scale path: corpus vectors
+    * live in their nearest-centroid list; a query scores ONLY the `nProbe`
+    * nearest lists (nProbe/nLists of the corpus on average) instead of
+    * everything. Recall/cost dial = (nLists, nProbe); nProbe = nLists is
+    * exact brute force. Same output contract as [[lshTopK]] /
+    * [[bruteForceTopK]].
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nLists: Int = 16, nProbe: Int = 4, iters: Int = 5,
+      centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val cents = centroids.getOrElse(ivfCentroids(corpus, nLists, iters))
+    val corpusL = graft.util.Par.spread(corpus)
+      .withColumn("list_id", nearestListExpr(col("embedding"), cents))
+    val queriesL = queries
+      .withColumn("list_id", explode(probeListsExpr(col("q_embedding"), cents, nProbe)))
+    val candidates = corpusL.join(broadcast(queriesL), Seq("list_id"))
+      .dropDuplicates("query_id", "vec_id")
+      .withColumn("cosine", round(cosine(col("q_embedding"), col("embedding")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    candidates
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cosine", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs (dedup use-case): LSH buckets →
     * within-bucket pairs → exact cosine ≥ threshold.
     *

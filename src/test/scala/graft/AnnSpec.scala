@@ -63,6 +63,47 @@ class AnnSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 === 7L && p._2 === 999L && p._3 >= 0.999))
   }
 
+  test("ivf: full-probe equals brute force exactly; training is deterministic") {
+    // nProbe = nLists probes every list => candidate set = full corpus =>
+    // results must be IDENTICAL to the exact baseline
+    val exact = Ann.bruteForceTopK(queries, corpus, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val full = Ann.ivfTopK(queries, corpus, k = 5, nLists = 4, nProbe = 4)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(full === exact)
+    val c1 = Ann.ivfCentroids(corpus, nLists = 4)
+    val c2 = Ann.ivfCentroids(corpus, nLists = 4)
+    assert(c1.map(_.toSeq).toSeq === c2.map(_.toSeq).toSeq)
+  }
+
+  test("ivf: self-query lands in its own list at any nProbe; clustered recall") {
+    val corp = corpus.as[(Long, Array[Float])].collect()
+    val q = Seq((42L, corp(4)._2)).toDF("query_id", "q_embedding")
+    val got = Ann.ivfTopK(q, corpus, k = 3, nLists = 4, nProbe = 1)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(got.nonEmpty)
+    assert(got.minBy(_._4)._2 === corp(4)._1, "rank-1 must be the identical vector")
+    assert(math.abs(got.minBy(_._4)._3 - 1.0) < 1e-6)
+    // clustered corpus, nProbe=2 of 4: the probed lists must cover the
+    // query's axis cluster — rank-1 of the axis queries is an axis member
+    val axisTop = Ann.ivfTopK(queries, corpus, k = 1, nLists = 4, nProbe = 2)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(axisTop.length === 2)
+    axisTop.foreach { case (qid, vid, cos, _) =>
+      assert(cos > 0.9, s"query $qid top hit $vid (cos $cos) not from its cluster")
+    }
+  }
+
+  test("ivf: more lists than distinct vectors — empty lists keep centroids, search still works") {
+    val tiny = corpus.limit(3)
+    val cents = Ann.ivfCentroids(tiny, nLists = 8, trainSample = 100)
+    assert(cents.length <= 8 && cents.nonEmpty)
+    val q = Seq((0L, Array(1.0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f))).toDF("query_id", "q_embedding")
+    val got = Ann.ivfTopK(q, tiny, k = 2, nLists = cents.length, nProbe = cents.length,
+      centroids = Some(cents))
+    assert(got.count() >= 1)
+  }
+
   test("vector primitives: dot/norm/cosine column math") {
     val df = Seq((Array(3.0f, 4.0f), Array(4.0f, 3.0f))).toDF("a", "b")
     val (d, na, c) = df.select(
