@@ -17,6 +17,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed JVM warmup (codegen compiler, shuffle machinery, task
+    // scheduling paths) so the first timed query measures the engine, not
+    // JIT/class-loading — touches NO benchmark data
+    spark.range(1000000).selectExpr("sum(id * 2)").collect()
+    spark.range(1000).toDF("id").groupBy((org.apache.spark.sql.functions.col("id") % 7))
+      .count().collect()
     // failures are NOT swallowed: the query is timed as -1, the exception is
     // recorded in an "errors" map, printed to stderr, and the run exits
     // nonzero after emitting the JSON line — a broken query must fail the bench.

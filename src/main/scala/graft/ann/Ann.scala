@@ -95,11 +95,16 @@ object Ann {
       zip_with(emb, typedLit(c), (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
       lit(0.0), (acc, v) => acc + v)
 
-  /** Index of the nearest centroid (first wins on ties — deterministic). */
-  private def nearestListExpr(emb: Column, cents: Array[Array[Double]]): Column = {
-    val dists = array(cents.map(c => distSq(emb, c)): _*)
+  /** Distances to every centroid as one array column. Callers materialize
+    * it through a withColumn boundary before [[argminList]] so the K
+    * aggregates evaluate once, not once per consumer.
+    */
+  private def distsExpr(emb: Column, cents: Array[Array[Double]]): Column =
+    array(cents.map(c => distSq(emb, c)): _*)
+
+  /** Index of the minimum distance (first wins on ties — deterministic). */
+  private def argminList(dists: Column): Column =
     (array_position(dists, array_min(dists)) - 1).cast("int")
-  }
 
   /** The `nProbe` nearest list ids, nearest first (struct sort on
     * (distance, list) — deterministic ties).
@@ -124,6 +129,7 @@ object Ann {
       iters: Int = 5,
       idCol: String = "vec_id",
       trainSample: Int = 100000): Array[Array[Double]] = {
+    import corpus.sparkSession.implicits._
     val train = corpus
       .select(xxhash64(col(idCol)).as("__h"), col("embedding").cast("array<double>").as("emb"))
       .orderBy("__h")
@@ -134,11 +140,25 @@ object Ann {
         .select("emb").collect().map(_.getSeq[Double](0).toArray)
       require(cents.nonEmpty, "IVF training needs a non-empty corpus")
       for (_ <- 1 to iters) {
+        // assignment via a BROADCAST centroid table + lexicographic
+        // struct-min argmin (deterministic ties), NOT centroid-literal
+        // expressions: literals change every iteration, and Spark would
+        // recompile the K×dim-constant codegen from scratch each time
+        // (measured ~5 s/iteration of pure janino for 8×64) — the join
+        // plan is literal-free, so its codegen is compiled once and reused
+        // across iterations. Map-side partial aggregation collapses the
+        // K-fold row multiplication before any shuffle.
+        val centsDf = cents.zipWithIndex.toSeq.map { case (c, l) => (l, c.toSeq) }.toDF("l", "cvec")
+        val dl = struct(
+          aggregate(zip_with(col("emb"), col("cvec"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, v) => acc + v).as("d"),
+          col("l").as("l"))
         // per-(list, dim) mean via posexplode: nLists × dim rows to the
         // driver — model-sized, never data-sized
-        val stats = train
-          .select(nearestListExpr(col("emb"), cents).as("l"),
-            posexplode(col("emb")).as(Seq("pos", "v")))
+        val stats = train.crossJoin(broadcast(centsDf))
+          .select(col("__h"), col("emb"), dl.as("dl"))
+          .groupBy("__h").agg(min("dl").as("m"), first("emb").as("emb"))
+          .select(col("m.l").as("l"), posexplode(col("emb")).as(Seq("pos", "v")))
           .groupBy("l", "pos").agg(sum("v").as("s"), count(lit(1)).as("c"))
           .collect()
           .groupBy(_.getInt(0))
@@ -168,8 +188,13 @@ object Ann {
       nLists: Int = 16, nProbe: Int = 4, iters: Int = 5,
       centroids: Option[Array[Array[Double]]] = None): DataFrame = {
     val cents = centroids.getOrElse(ivfCentroids(corpus, nLists, iters))
+    // the distance array crosses a withColumn boundary so its K aggregates
+    // evaluate once per row (array_min + array_position would otherwise
+    // each re-evaluate the whole array expression)
     val corpusL = graft.util.Par.spread(corpus)
-      .withColumn("list_id", nearestListExpr(col("embedding"), cents))
+      .withColumn("__dl", distsExpr(col("embedding"), cents))
+      .withColumn("list_id", argminList(col("__dl")))
+      .drop("__dl")
     val queriesL = queries
       .withColumn("list_id", explode(probeListsExpr(col("q_embedding"), cents, nProbe)))
     val candidates = corpusL.join(broadcast(queriesL), Seq("list_id"))

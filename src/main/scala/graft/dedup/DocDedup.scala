@@ -260,7 +260,7 @@ object DocDedup {
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** SimHash near-dup pairs within `maxHamming`: block on 4 16-bit chunks,
-    * self-join per chunk, verify exact Hamming.
+    * pair within chunk buckets, verify exact Hamming.
     *
     * Recall contract: the pigeonhole bound guarantees every pair with
     * distance < 4 shares a chunk (found with certainty); pairs between 4 and
@@ -269,17 +269,25 @@ object DocDedup {
     * (Manku et al., WWW'07 use distance 3 for 8B pages). Raising certainty
     * beyond 3 requires more, narrower chunks, whose small keys explode
     * bucket sizes — a deliberate recall/cost trade.
+    *
+    * Scale shape: same slim-stream skeleton as [[minhashPairs]] — a 16-bit
+    * chunk key has only 65536 values, so at 10^10 docs EVERY bucket is hot
+    * (~150k docs ⇒ 10^10 candidate pairs per bucket uncapped); `maxBucket`
+    * bounds that with the dropped coverage observed on-job, and the
+    * signature is joined back to surviving pairs instead of riding the
+    * chunk explode through a renamed self-join (which would also run the
+    * per-token md5 UDF twice over the corpus).
     */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-      maxHamming: Int = 3): DataFrame = {
-    val sigs = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
-      .withColumn("chunk", explode(array((0 until 4).map { c =>
-        struct(lit(c).as("c"), shiftrightunsigned(col("sig"), c * 16).bitwiseAND(lit(0xffffL)).as("v"))
-      }: _*)))
-    val a = sigs.select(col("chunk"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = sigs.select(col("chunk"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("chunk")).filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      maxHamming: Int = 3, maxBucket: Int = 100000,
+      logDropped: Boolean = true): DataFrame = {
+    val base = graft.util.Par.spread(docs)
+      .select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val bucketed = base.select(col("id"), explode(array((0 until 4).map { c =>
+      struct(lit(c).as("c"), shiftrightunsigned(col("sig"), c * 16).bitwiseAND(lit(0xffffL)).as("v"))
+    }: _*)).as("chunk"))
+    val pairs = cappedBucketPairs(bucketed, Seq("chunk"), maxBucket, logDropped, "simhashPairs")
+    attachPairSides(pairs, base, "sig")
       .withColumn("hamming", hamming(col("sig_a"), col("sig_b")))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")

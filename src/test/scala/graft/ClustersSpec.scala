@@ -68,6 +68,25 @@ class ClustersSpec extends SparkSpec {
     }
   }
 
+  test("resolveClusters composes with the simhash and embedding-cosine pair emitters") {
+    // all emitters share the (id_a, id_b) contract, so closure composes
+    val sameText = (0 until 30).map(j => s"dup$j").mkString(" ")
+    val docs = Seq((0L, sameText), (100L, sameText), (200L, sameText),
+      (1L, (0 until 30).map(j => s"other$j").mkString(" "))).toDF("doc_id", "text")
+    val simClusters = Clusters.resolveClusters(
+      graft.dedup.DocDedup.simhashPairs(docs, maxHamming = 0))
+      .as[(Long, Long)].collect().toMap
+    assert(simClusters === Map(0L -> 0L, 100L -> 0L, 200L -> 0L))
+    val vecs = Seq(
+      (0L, Array(1.0f, 0f, 0f, 0f)), (7L, Array(1.0f, 0f, 0f, 0f)),
+      (9L, Array(1.0f, 0f, 0f, 0f)), (3L, Array(0f, 1.0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val cosClusters = Clusters.resolveClusters(
+      graft.ann.Ann.cosineNearDupPairs(vecs, threshold = 0.999))
+      .as[(Long, Long)].collect().toMap
+    assert(cosClusters === Map(0L -> 0L, 7L -> 0L, 9L -> 0L))
+  }
+
   test("dedupCorpus: exact copies cluster with transitive closure; singletons keep") {
     // docs 0/100/200 identical (pairwise LSH pairs form a triangle — the
     // closure must collapse them into ONE cluster rooted at 0); 10 distinct
