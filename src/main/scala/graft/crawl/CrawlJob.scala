@@ -279,16 +279,24 @@ object CrawlJob {
       // 8. host throttle state + per-round fetch/dedup metrics
       //    (north_rule). All aggregations run over slim cached frames.
       val hostStates1 = Scheduler.updateHostStates(sched, hostStates, cfg, round, roundSec)
-      def perHost(df: DataFrame, as: String): DataFrame =
-        df.groupBy("host").agg(count(lit(1)).as(as))
-      val metricsDelta = perHost(frontier, "entered")
-        .join(perHost(fresh, "postDedup"), Seq("host"), "full_outer")
-        .join(perHost(onsiteF, "postOffsite"), Seq("host"), "full_outer")
-        .join(perHost(allowedF, "postRobots"), Seq("host"), "full_outer")
-        .join(perHost(sched, "scheduled"), Seq("host"), "full_outer")
-        .join(perHost(extracted.filter(!col("hit")), "fetchMissed"), Seq("host"), "full_outer")
-        .join(perHost(extracted.filter(col("is_err")), "errorDropped"), Seq("host"), "full_outer")
-        .join(perHost(extracted.filter(col("hit") && !col("is_err")), "extractedOk"), Seq("host"), "full_outer")
+      // ALL per-host stage counts in ONE aggregation: tag each (cached,
+      // slim) stage frame with its name, union, pivot on the fixed stage
+      // list — one shuffle of (host, stage) rows instead of 8 groupBys +
+      // 7 full_outer joins (whose per-job fixed costs dominated small
+      // rounds and whose 8 exchanges were pure waste at scale)
+      val stages = Seq("entered", "postDedup", "postOffsite", "postRobots",
+        "scheduled", "fetchMissed", "errorDropped", "extractedOk")
+      def tag(df: DataFrame, stage: String): DataFrame =
+        df.select(col("host"), lit(stage).as("__stage"))
+      val metricsDelta = tag(frontier, "entered")
+        .unionAll(tag(fresh, "postDedup"))
+        .unionAll(tag(onsiteF, "postOffsite"))
+        .unionAll(tag(allowedF, "postRobots"))
+        .unionAll(tag(sched, "scheduled"))
+        .unionAll(tag(extracted.filter(!col("hit")), "fetchMissed"))
+        .unionAll(tag(extracted.filter(col("is_err")), "errorDropped"))
+        .unionAll(tag(extracted.filter(col("hit") && !col("is_err")), "extractedOk"))
+        .groupBy("host").pivot("__stage", stages).count()
         .select(
           lit(round).as("round"), col("host"),
           coalesce(col("scheduled"), lit(0L)).as("scheduled"),
