@@ -160,9 +160,22 @@ object ScalingBench {
         maxPerHost = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXPERHOST", "200000").toInt,
         startDelaySec = 2.0, targetConcurrency = 16.0)
       val roundSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDSEC", "25000").toDouble
-      val robots = spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL("host STRING, pathPrefix STRING, allow BOOLEAN"))
+      // SPARK_GRAFT_BENCH_ROBOTS=1: engage the robots gate for every host
+      // (disallow an 11%-of-URLs prefix + a narrower allow carve-out, so the
+      // longest-prefix verdict actually discriminates) — measures the
+      // broadcast 1:1 gate's per-row cost at bench scale instead of
+      // skipping the subtree
+      val robots =
+        if (sys.env.get("SPARK_GRAFT_BENCH_ROBOTS").contains("1")) {
+          import org.apache.spark.sql.functions._
+          val hosts = spark.range(nHosts.toLong)
+            .select(concat(lit("host-"), col("id"), lit(".example.com")).as("host"))
+            .unionAll(spark.range(1).select(lit("hot-0.example.com").as("host")))
+          hosts.select(col("host"), lit("/rates/page-1").as("pathPrefix"), lit(false).as("allow"))
+            .unionAll(hosts.select(col("host"), lit("/rates/page-12").as("pathPrefix"), lit(true).as("allow")))
+        } else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL("host STRING, pathPrefix STRING, allow BOOLEAN"))
       val ckpt = Files.createTempDirectory(
         Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_TMPDIR", "/tmp")), s"graft-bench-$cpus").toString
       val t0 = System.nanoTime()

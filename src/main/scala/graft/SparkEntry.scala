@@ -410,6 +410,21 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    "q36_simhash_pairs" -> ((s, dir) => {
+      // simhash near-dup PAIRS under the gate (q28 already gates the
+      // signatures bit-for-bit): planted identical copies have hamming 0
+      // and share every 16-bit chunk, so the pigeonhole blocking finds
+      // them with CERTAINTY at any scale factor — no recall fragility;
+      // the id_b - id_a === off filter pins exactly the self-pairs
+      val off = 1L << 40
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val planted = docs.filter(col("doc_id") < 5)
+        .select((col("doc_id") + off).as("doc_id"), col("text"))
+      graft.dedup.DocDedup.simhashPairs(docs.unionByName(planted), maxHamming = 3)
+        .filter(col("id_b") - col("id_a") === off)
+        .orderBy("id_a")
+    }),
+
     "q35_ann_ivf_fullprobe" -> ((s, dir) => {
       // IVF with nProbe = nLists probes every inverted list, so the
       // candidate set is the full corpus and the result must be EXACTLY the
@@ -766,6 +781,14 @@ object SparkEntry {
            CASE WHEN strlen(text) = 0 THEN 0
                 ELSE CAST(1 + strlen(text) // 1024 AS INT) END AS frames_sampled
          FROM documents ORDER BY media_id""",
+
+    "q36_simhash_pairs" ->
+      // golden planted self-pairs: identical docs ⇒ identical signatures ⇒
+      // hamming 0, found with certainty by the chunk blocking
+      """SELECT id_a, id_b, hamming FROM (VALUES
+           (0, 1099511627776, 0), (1, 1099511627777, 0), (2, 1099511627778, 0),
+           (3, 1099511627779, 0), (4, 1099511627780, 0))
+         t(id_a, id_b, hamming) ORDER BY id_a""",
 
     "q35_ann_ivf_fullprobe" ->
       // identical to the q22 brute-force oracle: full-probe IVF must return
