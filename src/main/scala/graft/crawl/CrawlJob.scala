@@ -355,7 +355,11 @@ object CrawlJob {
       // per-partition lineage (north_rule): file-granular row counts of
       // every data file this round committed, written alongside the data —
       // the manifest-entry content of an Iceberg snapshot. Reading the
-      // just-written slim parquet back is one cheap scan per table.
+      // just-written slim parquet back is one cheap scan per table. The
+      // (file-granular ⇒ tiny by construction) result is collected once and
+      // serves double duty: it IS the lineage delta, and its frontier rows
+      // sum to the next round's frontier count — saving a full frontier
+      // re-scan per round just to decide loop termination.
       val lineageDelta = Seq(
         ("frontier", frontierPath), ("seen", seenPath), ("rates", ratesPath))
         .map { case (name, p) =>
@@ -365,8 +369,11 @@ object CrawlJob {
             .select(lit(round).as("round"), lit(name).as("table"), col("file"), col("rows"))
         }
         .reduce(_ unionAll _)
+      val lineageRows = lineageDelta.collect()
       val lineagePath = store.dataPath("lineage", round)
-      lineageDelta.write.mode("overwrite").parquet(lineagePath)
+      spark.createDataFrame(
+        java.util.Arrays.asList(lineageRows: _*), lineageDelta.schema)
+        .write.mode("overwrite").parquet(lineagePath)
       lineagePaths = lineagePaths :+ lineagePath
 
       // periodic delta-chain compaction (Iceberg rewrite-data-files
@@ -409,7 +416,8 @@ object CrawlJob {
       allowedF.unpersist()
       onsiteF.unpersist()
       fresh.unpersist()
-      frontierCount = frontier.count()
+      frontierCount = lineageRows
+        .filter(_.getString(1) == "frontier").map(_.getLong(3)).sum
       if (sys.env.contains("SPARK_GRAFT_VERBOSE"))
         println(f"[crawl] round $round done in ${(System.nanoTime() - tRound) / 1e9}%.1f s; frontier left: $frontierCount")
     }
