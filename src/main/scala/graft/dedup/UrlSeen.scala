@@ -261,22 +261,51 @@ object UrlSeen {
   }
 }
 
-/** Serializable probe: caches loaded per-partition Blooms per executor JVM
-  * (keyed by dir+pm). A missing filter file means the partition holds no
-  * seen keys yet → nothing can be contained.
+/** Serializable probe with two cache levels. A missing filter file means
+  * the partition holds no seen keys yet → nothing can be contained.
+  *
+  *  - per-TASK (the @transient lazy map): row-path lookups never stat the
+  *    filesystem — each task resolves each pm once.
+  *  - per-JVM (companion): tasks are deserialized copies, so without this a
+  *    32-task probe stage would read every filter file up to 32× per round;
+  *    the JVM cache loads each filter once and revalidates by a
+  *    (size, mtime-nanos) stamp.
+  *
+  * Freshness is CORRECTNESS here, not just performance: the filters are
+  * atomically replaced by each round's merge, and probing a stale filter
+  * would pass already-seen URLs as "definitely new" (a seen-set exactness
+  * violation). The stamp check makes any replaced file reload; an
+  * in-flight replacement can only ever surface a NEWER filter, which is a
+  * superset — safe by the bloom invariant.
   */
 class PartitionedBloomProbe(dir: String) extends ((Long, Long) => Boolean) with Serializable {
-  @transient private lazy val cache =
+  @transient private lazy val taskCache =
     new java.util.concurrent.ConcurrentHashMap[Long, Option[BloomFilter]]()
-  def apply(pm: Long, urlHash: Long): Boolean = {
-    val bf = cache.computeIfAbsent(pm, { p =>
-      val f = new java.io.File(f"$dir/bloom-$p%05d.bin")
-      if (!f.exists()) None
+  def apply(pm: Long, urlHash: Long): Boolean =
+    taskCache.computeIfAbsent(pm, p => PartitionedBloomProbe.load(dir, p))
+      .exists(_.mightContainLong(urlHash))
+}
+
+object PartitionedBloomProbe {
+  private final case class Entry(stamp: (Long, Long, Int), bf: Option[BloomFilter])
+  private val jvmCache = new java.util.concurrent.ConcurrentHashMap[String, Entry]()
+
+  private def stampOf(p: java.nio.file.Path): (Long, Long, Int) =
+    if (!java.nio.file.Files.exists(p)) (-1L, -1L, -1)
+    else {
+      val t = java.nio.file.Files.getLastModifiedTime(p).toInstant
+      (java.nio.file.Files.size(p), t.getEpochSecond, t.getNano)
+    }
+
+  private def load(dir: String, pm: Long): Option[BloomFilter] = {
+    val path = java.nio.file.Paths.get(dir, f"bloom-$pm%05d.bin")
+    val stamp = stampOf(path)
+    jvmCache.compute(s"$dir#$pm", (_, old) =>
+      if (old != null && old.stamp == stamp) old
+      else if (stamp._1 < 0) Entry(stamp, None)
       else {
-        val in = new java.io.FileInputStream(f)
-        try Some(BloomFilter.readFrom(in)) finally in.close()
-      }
-    })
-    bf.exists(_.mightContainLong(urlHash))
+        val in = java.nio.file.Files.newInputStream(path)
+        try Entry(stamp, Some(BloomFilter.readFrom(in))) finally in.close()
+      }).bf
   }
 }
