@@ -139,4 +139,68 @@ object Multimodal {
       .repartitionByRange(parts, col("__bucket"))
       .drop("__bytes", "__pid", "__ord", "__cum", "__bucket", "__opid", "__off")
   }
+
+  // --------------------------------------------------- resize / frame-sample
+
+  /** STUB resize kernel — stands in for an image scaler. Deterministic pure
+    * function: keeps every ceil(srcW/dstW)-th byte (a nearest-neighbor
+    * downsample of the byte stream), so output size tracks the scale factor
+    * the way a real resampler's would. Swap for JNI/libvips in production.
+    */
+  def stubResize(content: Array[Byte], srcW: Int, dstW: Int): Array[Byte] = {
+    if (content == null || content.isEmpty || dstW >= srcW || dstW <= 0) content
+    else {
+      val step = math.max(1, math.ceil(srcW.toDouble / dstW).toInt)
+      val out = new Array[Byte]((content.length + step - 1) / step)
+      var i = 0
+      var j = 0
+      while (i < content.length) { out(j) = content(i); i += step; j += 1 }
+      out
+    }
+  }
+
+  /** Resize stage: batch-iterated like [[extractFeatures]] (one decoder/
+    * scaler init per partition in a real pipeline), metadata updated to the
+    * target geometry. Content stays an opaque binary column throughout.
+    */
+  def resize(media: Dataset[MediaRow], targetWidth: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // real pipeline: val scaler = Scaler.init(targetWidth) — once per partition
+      rows.map { r =>
+        if (r.width <= targetWidth) r
+        else r.copy(
+          content = stubResize(r.content, r.width, targetWidth),
+          width = targetWidth,
+          height = math.max(1, (r.height.toLong * targetWidth / math.max(r.width, 1)).toInt))
+      }
+    }
+  }
+
+  final case class FrameRow(
+      media_id: Long,
+      frame_idx: Int,
+      frame_ts_ms: Int,
+      frame: Array[Byte])
+
+  /** Frame sampling: one frame every `everyMs` of duration, each frame a
+    * deterministic 1 KB slice of the content (the stub for a real decoder's
+    * keyframe grab). Iterator-based flatMap — a 2-hour video emits its
+    * frames lazily, never materializing them as one in-memory list, and fat
+    * inputs should be [[repartitionByBytes]]-balanced first so frame
+    * explosion stays even across tasks.
+    */
+  def sampleFrames(media: Dataset[MediaRow], everyMs: Int = 1000): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    require(everyMs > 0, "everyMs must be positive")
+    media.filter(col("kind") === "video").flatMap { r =>
+      val n = math.max(1, r.duration_ms / everyMs)
+      val bytes = if (r.content == null) Array.empty[Byte] else r.content
+      (0 until n).iterator.map { i =>
+        val start = if (bytes.isEmpty) 0 else (i.toLong * bytes.length / n).toInt
+        val end = math.min(bytes.length, start + 1024)
+        FrameRow(r.media_id, i, i * everyMs, java.util.Arrays.copyOfRange(bytes, start, end))
+      }
+    }
+  }
 }

@@ -58,6 +58,42 @@ class MultimodalSpec extends SparkSpec {
     assert(perPart.count(_ >= maxRow) >= 2)
   }
 
+  test("resize: downsamples content, updates geometry, no-ops when already small") {
+    val media = Multimodal.syntheticMedia(docs)
+    val src = media.collect().sortBy(_.media_id)
+    val out = Multimodal.resize(media, targetWidth = 16).collect().sortBy(_.media_id)
+    out.zip(src).foreach { case (r, s) =>
+      if (s.width <= 16) {
+        assert(r.content.toSeq === s.content.toSeq, "small media must pass through")
+        assert(r.width === s.width)
+      } else {
+        assert(r.width === 16)
+        assert(r.height === math.max(1, (s.height.toLong * 16 / s.width).toInt))
+        val step = math.ceil(s.width.toDouble / 16).toInt
+        assert(r.content.length === (s.content.length + step - 1) / step)
+        // nearest-neighbor stub: kept bytes are the source's every step-th
+        assert(r.content.toSeq === s.content.indices.by(step).map(s.content).toSeq)
+      }
+    }
+    // deterministic
+    val again = Multimodal.resize(media, 16).collect().sortBy(_.media_id)
+    assert(out.map(_.content.toSeq).toSeq === again.map(_.content.toSeq).toSeq)
+  }
+
+  test("sampleFrames: one frame per interval, video rows only, deterministic slices") {
+    val media = Multimodal.syntheticMedia(docs)
+    val videos = media.collect().filter(_.kind == "video")
+    val frames = Multimodal.sampleFrames(media, everyMs = 60000).collect()
+    assert(frames.map(_.media_id).toSet === videos.map(_.media_id).toSet)
+    videos.foreach { v =>
+      val fs = frames.filter(_.media_id == v.media_id).sortBy(_.frame_idx)
+      assert(fs.length === math.max(1, v.duration_ms / 60000))
+      assert(fs.map(_.frame_idx).toSeq === fs.indices.toSeq)
+      assert(fs.forall(_.frame.length <= 1024))
+      fs.foreach(f => assert(f.frame_ts_ms === f.frame_idx * 60000))
+    }
+  }
+
   test("repartitionByBytes: empty input returns unchanged") {
     import org.apache.spark.sql.functions._
     val empty = Seq.empty[(Long, Array[Byte])].toDF("media_id", "content")
