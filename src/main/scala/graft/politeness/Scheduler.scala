@@ -57,8 +57,14 @@ object Scheduler {
     val budgetUdf = udf((delay: Double) => budgetFor(delay, roundSec, cfg))
     val states = hostStates.select(col("host").as("__shost"), col("delaySec").as("__delay"))
 
+    // deliberately NOT hinted broadcast: hostStates grows with DISTINCT
+    // HOSTS CRAWLED — one row per host is kilobytes for a focused crawl but
+    // multi-GB at 10^8 web hosts, where a forced broadcast is an OOM. AQE
+    // still picks a broadcast join whenever the table is actually small
+    // (every bench/test here) and degrades to a shuffle on host — which the
+    // downstream per-host windows shuffle by anyway — when it is not.
     val withBudget = frontier
-      .join(broadcast(states), col("host") === col("__shost"), "left")
+      .join(states, col("host") === col("__shost"), "left")
       .withColumn("__budget", budgetUdf(coalesce(col("__delay"), lit(cfg.startDelaySec))))
       .drop("__shost", "__delay")
 
