@@ -121,7 +121,13 @@ object Ann {
     * (hash, id) plus `iters` passes over the SAMPLE only). The model is
     * nLists × dim doubles — driver/broadcast sized by construction. Lists
     * that lose all members keep their previous centroid. Fully
-    * deterministic: same corpus → same centroids on any cluster.
+    * deterministic, same corpus → same centroids on any cluster — which
+    * takes engineering, not just seeding: a plain sum() of doubles folds
+    * partial aggregates in shuffle-arrival order, and float non-associativity
+    * would let two runs diverge by an ulp and then amplify through the
+    * assignment step. The per-(list, dim) sum therefore collects its values
+    * (bounded by `trainSample` per group — sample-sized, never corpus-sized)
+    * and folds them in SORTED order.
     */
   def ivfCentroids(
       corpus: DataFrame,
@@ -159,7 +165,9 @@ object Ann {
           .select(col("__h"), col("emb"), dl.as("dl"))
           .groupBy("__h").agg(min("dl").as("m"), first("emb").as("emb"))
           .select(col("m.l").as("l"), posexplode(col("emb")).as(Seq("pos", "v")))
-          .groupBy("l", "pos").agg(sum("v").as("s"), count(lit(1)).as("c"))
+          .groupBy("l", "pos").agg(
+            aggregate(sort_array(collect_list(col("v"))), lit(0.0), (acc, x) => acc + x).as("s"),
+            count(lit(1)).as("c"))
           .collect()
           .groupBy(_.getInt(0))
         cents = cents.zipWithIndex.map { case (old, l) =>

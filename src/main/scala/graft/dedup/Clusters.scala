@@ -75,14 +75,28 @@ object Clusters {
       maxIter: Int = 50,
       workDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
-    val scratch = workDir.getOrElse(
-      java.nio.file.Files.createTempDirectory("graft-cc").toString)
+    // scratch lives on whatever filesystem spark.write resolves against
+    // (the default FS — NOT necessarily the driver's local disk), so all
+    // cleanup goes through the Hadoop FileSystem API: a java.nio delete
+    // would silently no-op against hdfs://-style paths and leak every
+    // iteration. The FINAL iteration's files back the returned (lazy)
+    // DataFrame and cannot be deleted here: callers that pass `workDir` own
+    // its lifetime; the auto-created scratch is removed best-effort at JVM
+    // exit.
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val scratch = workDir.getOrElse {
+      val dir = java.nio.file.Files.createTempDirectory("graft-cc").toString
+      sys.addShutdownHook {
+        try deleteRecursively(hadoopConf, dir) catch { case _: Exception => () }
+      }
+      dir
+    }
 
     def checkpoint(df: DataFrame, iter: Int): DataFrame = {
       val p = s"$scratch/iter-$iter"
       df.write.mode("overwrite").parquet(p)
       // previous iteration's files are no longer referenced by any plan
-      if (iter > 1) deleteRecursively(s"$scratch/iter-${iter - 1}")
+      if (iter > 1) deleteRecursively(hadoopConf, s"$scratch/iter-${iter - 1}")
       spark.read.parquet(p)
     }
 
@@ -145,14 +159,8 @@ object Clusters {
       .withColumn("keep", col("id") === col("cluster_id"))
   }
 
-  private def deleteRecursively(path: String): Unit = {
-    val p = java.nio.file.Paths.get(path)
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      scala.util.Using.resource(java.nio.file.Files.walk(p)) { stream =>
-        stream.sorted(java.util.Comparator.reverseOrder())
-          .iterator.asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-      }
-    }
+  private def deleteRecursively(conf: org.apache.hadoop.conf.Configuration, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(conf).delete(p, true): Unit
   }
 }

@@ -122,13 +122,20 @@ object DocDedup {
 
   /** The shared candidate-pair skeleton for bucketed near-dup methods:
     * a SLIM (id, bucket keys…) stream is ranked per bucket, capped (with the
-    * dropped coverage observed on the same job), and turned into i<j pairs
-    * WITHOUT a renamed self-join — the groupBy reuses the window's
-    * partitioning (no extra exchange), groups are ≤ maxBucket ids (bounded
-    * arrays), and the nested transform emits each pair once. Fat payload
-    * columns (signatures, embeddings) must NOT be in `bucketed` — callers
-    * attach them to the surviving pairs afterwards (see [[attachPairSides]]).
-    * row_number (not collect_list-then-slice) for the cap so a degenerate
+    * dropped coverage observed on the same job), and paired i<j by a
+    * self-join on the bucket keys. The join STREAMS pairs: a bucket at the
+    * cap emits C(maxBucket, 2) output ROWS but never materializes them as
+    * one value — the previous collect_list-then-flatten shape built all
+    * pairs of a bucket into a single array, which at the simhash default
+    * cap (100k ids ⇒ 5·10^9 structs) exceeds Spark's 2^31 array limit and
+    * dies exactly on the hot-bucket path the cap exists for. Both join
+    * sides canonicalize to the same window subtree, so the range shuffle
+    * under it is planned once and reused (ReusedExchange); the observer
+    * node rides only side A — the same CollectMetrics name twice in one
+    * query tree is an analysis error, and one side sees every ranked row
+    * anyway. Fat payload columns (signatures, embeddings) must NOT be in
+    * `bucketed` — callers attach them to the surviving pairs afterwards
+    * (see [[attachPairSides]]). row_number for the cap so a degenerate
     * bucket of any size streams through the rank instead of materializing.
     */
   private[graft] def cappedBucketPairs(
@@ -138,17 +145,16 @@ object DocDedup {
       logDropped: Boolean,
       op: String): DataFrame = {
     val w = Window.partitionBy(bucketCols.map(col): _*).orderBy("id")
-    val ranked = bucketed.withColumn("__rn", row_number().over(w))
-    val observed = if (logDropped) withDroppedObserver(op, ranked, "__rn", maxBucket) else ranked
-    val capped = observed.filter(col("__rn") <= maxBucket).drop("__rn")
-    capped
-      .groupBy(bucketCols.map(col): _*)
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) >= 2)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))),
-          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+    def capped(observe: Boolean, idAs: String): DataFrame = {
+      val ranked = bucketed.withColumn("__rn", row_number().over(w))
+      val observed = if (observe) withDroppedObserver(op, ranked, "__rn", maxBucket) else ranked
+      observed.filter(col("__rn") <= maxBucket)
+        .select(bucketCols.map(col) :+ col("id").as(idAs): _*)
+    }
+    capped(logDropped, "id_a")
+      .join(capped(observe = false, "id_b"), bucketCols)
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
   }
 
@@ -273,10 +279,11 @@ object DocDedup {
     * Scale shape: same slim-stream skeleton as [[minhashPairs]] — a 16-bit
     * chunk key has only 65536 values, so at 10^10 docs EVERY bucket is hot
     * (~150k docs ⇒ 10^10 candidate pairs per bucket uncapped); `maxBucket`
-    * bounds that with the dropped coverage observed on-job, and the
-    * signature is joined back to surviving pairs instead of riding the
-    * chunk explode through a renamed self-join (which would also run the
-    * per-token md5 UDF twice over the corpus).
+    * bounds that with the dropped coverage observed on-job. Cost model,
+    * honestly: the per-token md5 signature kernel runs twice over the
+    * corpus either way (bucket stream + pair attach here; both join sides
+    * in a renamed self-join) — what the shared skeleton buys is the
+    * cap/observer machinery and streamed pair emission, not a kernel pass.
     */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       maxHamming: Int = 3, maxBucket: Int = 100000,

@@ -86,7 +86,8 @@ object UrlSeen {
     * manifest commit).
     *
     * Each `bloom-NNNNN.bin` carries a `bloom-NNNNN.cnt` sidecar
-    * `"capacity count"` so incremental merges can detect saturation and
+    * `"capacity count generation"` so incremental merges can detect
+    * saturation (and the probe cache can detect replacement) and
     * rebuild that one partition's filter with doubled capacity (fpp would
     * otherwise degrade silently once count ≫ capacity).
     *
@@ -163,9 +164,13 @@ object UrlSeen {
         }
         var n = n0
         rows.foreach { r => bf.putLong(r._1); n += 1 }
+        // .bin first, then .cnt: a reader that sees the new generation token
+        // in .cnt is guaranteed the .bin beside it is at least as new (a
+        // LATER .bin is a superset — safe by the bloom invariant)
         atomicWrite(dir, f"bloom-$pm%05d.bin") { out => bf.writeTo(out) }
         atomicWrite(dir, f"bloom-$pm%05d.cnt") { out =>
-          out.write(s"$cap $n".getBytes("UTF-8")) }
+          out.write(s"$cap $n ${java.util.concurrent.ThreadLocalRandom.current().nextLong()}"
+            .getBytes("UTF-8")) }
         (pm, cap, n)
       }
       .collect()
@@ -188,6 +193,18 @@ object UrlSeen {
     else {
       val parts = java.nio.file.Files.readString(p).trim.split(" ")
       (parts(0).toLong, parts(1).toLong)
+    }
+  }
+
+  /** The sidecar's per-write generation token (0 for legacy 2-field
+    * sidecars / missing files) — the probe cache's freshness stamp.
+    */
+  private[dedup] def readSidecarGen(dir: String, pm: Long): Long = {
+    val p = java.nio.file.Paths.get(dir, f"bloom-$pm%05d.cnt")
+    if (!java.nio.file.Files.exists(p)) 0L
+    else {
+      val parts = java.nio.file.Files.readString(p).trim.split(" ")
+      if (parts.length >= 3) parts(2).toLong else 0L
     }
   }
 
@@ -268,15 +285,23 @@ object UrlSeen {
   *    filesystem — each task resolves each pm once.
   *  - per-JVM (companion): tasks are deserialized copies, so without this a
   *    32-task probe stage would read every filter file up to 32× per round;
-  *    the JVM cache loads each filter once and revalidates by a
-  *    (size, mtime-nanos) stamp.
+  *    the JVM cache loads each filter once and revalidates by the sidecar's
+  *    per-write GENERATION token (plus size/mtime as a belt for legacy
+  *    sidecars without one).
   *
   * Freshness is CORRECTNESS here, not just performance: the filters are
   * atomically replaced by each round's merge, and probing a stale filter
   * would pass already-seen URLs as "definitely new" (a seen-set exactness
-  * violation). The stamp check makes any replaced file reload; an
-  * in-flight replacement can only ever surface a NEWER filter, which is a
-  * superset — safe by the bloom invariant.
+  * violation). mtime alone cannot carry that burden — a merged filter has a
+  * CONSTANT serialized size, and on coarse-timestamp filesystems (NFS, 1 s
+  * object-store mounts) two sub-second consecutive merges can collide on
+  * (size, mtime) — so every write stamps a fresh random token into the
+  * `.cnt` sidecar and the cache reloads on ANY token change. Read order
+  * (.cnt then .bin, the reverse of the write order) means a new token is
+  * only ever paired with an equal-or-newer .bin — a superset, safe by the
+  * bloom invariant. The cache is size-bounded (cleared wholesale past
+  * [[PartitionedBloomProbe.MaxEntries]]) so filters for long-dead
+  * checkpoint dirs cannot accumulate for the executor's lifetime.
   */
 class PartitionedBloomProbe(dir: String) extends ((Long, Long) => Boolean) with Serializable {
   @transient private lazy val taskCache =
@@ -287,22 +312,27 @@ class PartitionedBloomProbe(dir: String) extends ((Long, Long) => Boolean) with 
 }
 
 object PartitionedBloomProbe {
-  private final case class Entry(stamp: (Long, Long, Int), bf: Option[BloomFilter])
+  private[dedup] val MaxEntries = 8192
+  private final case class Stamp(gen: Long, size: Long, sec: Long, nano: Int)
+  private final case class Entry(stamp: Stamp, bf: Option[BloomFilter])
   private val jvmCache = new java.util.concurrent.ConcurrentHashMap[String, Entry]()
 
-  private def stampOf(p: java.nio.file.Path): (Long, Long, Int) =
-    if (!java.nio.file.Files.exists(p)) (-1L, -1L, -1)
+  // .cnt (generation) read BEFORE the .bin stat/read — see the class doc
+  private def stampOf(dir: String, pm: Long, p: java.nio.file.Path): Stamp =
+    if (!java.nio.file.Files.exists(p)) Stamp(0L, -1L, -1L, -1)
     else {
+      val gen = UrlSeen.readSidecarGen(dir, pm)
       val t = java.nio.file.Files.getLastModifiedTime(p).toInstant
-      (java.nio.file.Files.size(p), t.getEpochSecond, t.getNano)
+      Stamp(gen, java.nio.file.Files.size(p), t.getEpochSecond, t.getNano)
     }
 
   private def load(dir: String, pm: Long): Option[BloomFilter] = {
     val path = java.nio.file.Paths.get(dir, f"bloom-$pm%05d.bin")
-    val stamp = stampOf(path)
+    val stamp = stampOf(dir, pm, path)
+    if (jvmCache.size() > MaxEntries) jvmCache.clear() // dead-dir backstop
     jvmCache.compute(s"$dir#$pm", (_, old) =>
       if (old != null && old.stamp == stamp) old
-      else if (stamp._1 < 0) Entry(stamp, None)
+      else if (stamp.size < 0) Entry(stamp, None)
       else {
         val in = java.nio.file.Files.newInputStream(path)
         try Entry(stamp, Some(BloomFilter.readFrom(in))) finally in.close()

@@ -49,12 +49,23 @@ object Dims {
     * order, and that order feeds the itertools.product seed enumeration.
     * First occurrence wins for duplicated codes. Collected to the driver —
     * a currency dimension is a few hundred rows by nature.
+    *
+    * Requires AT MOST ONE page row: "page order" is only defined for one
+    * page — posexplode restarts pos at 0 per row, so two pages (a stale
+    * fetch beside a fresh one) would interleave codes by first-occurrence
+    * position with cross-page ties broken arbitrarily, silently diverging
+    * from the reference's enumeration order. Callers with several candidate
+    * rows must select the authoritative page first.
     */
   def availCurrencies(
       pages: DataFrame,
       provider: String,
       providers: Seq[graft.provider.Provider] = graft.provider.Providers.registry): Seq[String] = {
     val p = graft.provider.Providers.byName(provider, providers)
+    val nPages = pages.limit(2).count()
+    require(nPages <= 1,
+      s"availCurrencies needs exactly one dimension page row to define page order; " +
+        s"got several for provider $provider — pre-select the authoritative page")
     pages.select(posexplode(p.currencies(col("text"))).as(Seq("pos", "c")))
       .select(col("pos"), col("c.alpha_code").as("code"))
       .groupBy("code").agg(min("pos").as("pos"))

@@ -108,22 +108,43 @@ object Frontier {
   }
 
   /** Exact, scalable global rank 0..n-1 by `orderCol` (no single-partition
-    * window): range-repartition on the order column, count rows per
-    * partition, broadcast the cumulative offsets, then rank = per-partition
-    * row_number + offset. Every stage is parallel.
+    * window): bucket rows into value-derived ranges of the order column,
+    * count rows per bucket, broadcast the cumulative offsets, then rank =
+    * per-bucket row_number + offset. Every stage is parallel. `orderCol`
+    * must be an atomic, literal-expressible type (numeric, string,
+    * date/timestamp — every rank key in this library).
     */
   def withGlobalRank(df: DataFrame, orderCol: String, rankCol: String, partitions: Int): DataFrame = {
-    // NOT cached: the counts action below and the returned plan each execute
-    // the range exchange once, but repartitionByRange is deterministic for a
-    // deterministic input (RangePartitioner samples with a fixed
-    // per-partition seed), so both executions assign every row to the same
-    // __pid and the offsets stay valid. A cache here would be unpersistable —
-    // the returned plan is lazy, so there is no safe point to release it, and
-    // repeated withShard calls in a long-lived session would leak cached RDDs.
-    val ranged = df
-      .repartitionByRange(partitions, col(orderCol))
-      .withColumn("__pid", spark_partition_id())
-    val counts = ranged.groupBy("__pid").count().collect()
+    // The range-bucket id is a PURE FUNCTION OF THE ORDER VALUE — boundaries
+    // are collected once from a deterministic hash-sample and baked in as
+    // literals — NOT spark_partition_id() after repartitionByRange. That
+    // shape was silently WRONG: the counts action and the returned plan each
+    // execute their own range exchange (AQE does not reliably dedup them),
+    // and RangePartitioner's reservoir sampling is seeded per RDD id, so two
+    // executions pick different boundaries EVEN ON IDENTICAL INPUT — stale
+    // offsets, ranks duplicated/skipped (reproduced at 5000 rows, local[4]).
+    // Value-pure bucket ids are immune to re-execution, task retry,
+    // speculative duplicates, and AQE re-planning, and need no cache or
+    // checkpoint to pin (nothing persisted — nothing to leak).
+    val n = df.count()
+    if (n == 0L) return df.withColumn(rankCol, lit(0L)).filter(lit(false))
+    // deterministic "sample": keep order values whose hash ≡ 0 (mod k) — a
+    // value-defined subset, independent of row order or partitioning
+    val targetSample = math.max(partitions.toLong * 128L, 1024L)
+    val k = math.max(1L, n / targetSample)
+    val sampled = df
+      .select(col(orderCol)).filter(pmod(xxhash64(col(orderCol)), lit(k)) === 0)
+      .distinct().orderBy(orderCol)
+      .collect().map(_.get(0))
+    val step = if (sampled.isEmpty) 0.0 else sampled.length.toDouble / partitions
+    val bnds = if (sampled.isEmpty) Seq.empty[Any]
+      else (1 until partitions).map(i => sampled((i * step).toInt)).distinct
+    // bucket = how many boundaries sort at-or-below the value; the literal
+    // array is `partitions`-sized (bounded), evaluated in codegen per row
+    val pidExpr = if (bnds.isEmpty) lit(0)
+      else size(filter(array(bnds.map(lit(_)): _*), b => b <= col(orderCol)))
+    val withPid = df.withColumn("__pid", pidExpr)
+    val counts = withPid.groupBy("__pid").count().collect()
       .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val offsets = counts
       .scanLeft((0, 0L)) { case ((_, acc), (pid, c)) => (pid, acc + c) }
@@ -133,7 +154,7 @@ object Frontier {
     import df.sparkSession.implicits._
     val offsetsDf = offsets.toDF("__opid", "__off")
     val w = Window.partitionBy("__pid").orderBy(orderCol)
-    ranged
+    withPid
       .join(broadcast(offsetsDf), col("__pid") === col("__opid"), "left")
       .withColumn(rankCol,
         row_number().over(w).cast("long") - 1 + coalesce(col("__off"), lit(0L)))

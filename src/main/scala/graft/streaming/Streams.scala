@@ -139,39 +139,47 @@ object Streams {
     val withSeq = batch.withColumn(
       "seq", xxhash64(col("card_c"), col("trans_c"), col("date")))
     val frontier = CrawlJob.expandSeeds(withSeq, provider, providers)
-    val fresh = UrlSeen.filterNewExact(UrlSeen.dedupWithinBatch(frontier), seenDf)
-    val fetched = fresh.hint("shuffle_hash")
-      .join(pages.select(col("url"), col("text")), Seq("url"), "left")
-    val extracted = fetched.select(
-      col("canonUrl"), col("urlHash"), col("card_c"), col("trans_c"), col("date"),
-      graft.provider.Providers.idCol(col("provider"), providers).as("provider_id"),
-      col("text").isNotNull.as("hit"),
-      (col("text").isNotNull && coalesce(
-        graft.provider.Providers.route(col("provider"), providers)(_.isError(col("text"))),
-        lit(false))).as("is_err"),
-      graft.provider.Providers.route(col("provider"), providers)(_.extractRate(col("text")))
-        .as("rate"))
-    val parsed = extracted.filter(col("hit") && !col("is_err"))
-      .select(col("card_c").as("card_code"), col("trans_c").as("trans_code"),
-        col("date"), col("provider_id"), col("rate"))
-      .dropDuplicates("card_code", "trans_code", "date", "provider_id")
-    val newRates = parsed.join(
-      ratesDf.select("card_code", "trans_code", "date", "provider_id"),
-      Seq("card_code", "trans_code", "date", "provider_id"), "left_anti")
-    val seenDelta = fresh.select(
-      col("urlHash"), col("canonUrl").as("url"), lit(batchId.toInt + 1).as("round"))
+    // the batch commits with TWO actions (seen delta + rates delta), both
+    // rooted at `fresh` — cache the slim frontier rows (no page text) and
+    // materialize BEFORE the writes, or each action re-runs the whole
+    // expand → dedup → anti-join chain (the same recompute-per-action shape
+    // the batch CrawlJob caches against)
+    val fresh = UrlSeen.filterNewExact(UrlSeen.dedupWithinBatch(frontier), seenDf).cache()
+    fresh.count()
+    try {
+      val fetched = fresh.hint("shuffle_hash")
+        .join(pages.select(col("url"), col("text")), Seq("url"), "left")
+      val extracted = fetched.select(
+        col("canonUrl"), col("urlHash"), col("card_c"), col("trans_c"), col("date"),
+        graft.provider.Providers.idCol(col("provider"), providers).as("provider_id"),
+        col("text").isNotNull.as("hit"),
+        (col("text").isNotNull && coalesce(
+          graft.provider.Providers.route(col("provider"), providers)(_.isError(col("text"))),
+          lit(false))).as("is_err"),
+        graft.provider.Providers.route(col("provider"), providers)(_.extractRate(col("text")))
+          .as("rate"))
+      val parsed = extracted.filter(col("hit") && !col("is_err"))
+        .select(col("card_c").as("card_code"), col("trans_c").as("trans_code"),
+          col("date"), col("provider_id"), col("rate"))
+        .dropDuplicates("card_code", "trans_code", "date", "provider_id")
+      val newRates = parsed.join(
+        ratesDf.select("card_code", "trans_code", "date", "provider_id"),
+        Seq("card_code", "trans_code", "date", "provider_id"), "left_anti")
+      val seenDelta = fresh.select(
+        col("urlHash"), col("canonUrl").as("url"), lit(batchId.toInt + 1).as("round"))
 
-    val version = resume.map(_._1).getOrElse(0) + 1
-    val seenPath = store.dataPath("seen", version)
-    val ratesPath = store.dataPath("rates", version)
-    seenDelta.write.mode("overwrite").parquet(seenPath)
-    newRates.write.mode("overwrite").parquet(ratesPath)
-    seenPaths = seenPaths :+ seenPath
-    ratesPaths = ratesPaths :+ ratesPath
-    store.commit(version, Map(
-      "seen" -> seenPaths.mkString(";"),
-      "rates" -> ratesPaths.mkString(";"),
-      "batches" -> (doneBatches + batchId).toSeq.sorted.mkString(";")))
+      val version = resume.map(_._1).getOrElse(0) + 1
+      val seenPath = store.dataPath("seen", version)
+      val ratesPath = store.dataPath("rates", version)
+      seenDelta.write.mode("overwrite").parquet(seenPath)
+      newRates.write.mode("overwrite").parquet(ratesPath)
+      seenPaths = seenPaths :+ seenPath
+      ratesPaths = ratesPaths :+ ratesPath
+      store.commit(version, Map(
+        "seen" -> seenPaths.mkString(";"),
+        "rates" -> ratesPaths.mkString(";"),
+        "batches" -> (doneBatches + batchId).toSeq.sorted.mkString(";")))
+    } finally fresh.unpersist()
   }
 
   // ------------------------------------------------ stateful host sessions

@@ -57,6 +57,32 @@ class DedupSpec extends SparkSpec {
     assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".bin")) === 8)
   }
 
+  test("bloom probe cache reloads a same-size, same-mtime replacement (generation token)") {
+    // the mtime-collision scenario: a merge rewrites a filter with the SAME
+    // capacity (constant serialized size) within the same timestamp tick
+    // (forced here by resetting mtime) — only the sidecar generation token
+    // distinguishes the files, and the JVM cache must reload on it, or a
+    // stale filter answers "definitely new" for already-seen keys
+    val dir = java.nio.file.Files.createTempDirectory("bloomgen").toString
+    UrlSeen.buildPartitionedBlooms(
+      Seq(1L).toDF("urlHash"), dir, parts = 1, expectedItemsPerPart = 1000)
+    val probe1 = new graft.dedup.PartitionedBloomProbe(dir)
+    assert(probe1(0L, 1L), "built filter must contain its key")
+    assert(!probe1(0L, 424242L), "fresh filter should miss an absent key")
+    val bin = java.nio.file.Paths.get(dir, "bloom-00000.bin")
+    val size0 = java.nio.file.Files.size(bin)
+    val t0 = java.nio.file.Files.getLastModifiedTime(bin)
+    UrlSeen.mergeDeltaIntoPartitionedBlooms(
+      Seq(424242L).toDF("urlHash"), Seq(1L, 424242L).toDF("urlHash"),
+      dir, parts = 1, capacityPerPart = 1000)
+    assert(java.nio.file.Files.size(bin) === size0, "same capacity ⇒ same size")
+    java.nio.file.Files.setLastModifiedTime(bin, t0) // force the collision
+    val probe2 = new graft.dedup.PartitionedBloomProbe(dir) // fresh task cache, shared JVM cache
+    assert(probe2(0L, 424242L),
+      "stale cached filter served after a same-size same-mtime replacement")
+    assert(probe2(0L, 1L))
+  }
+
   private def seenOf(urls: Seq[String]) =
     urls.toDF("url").select(xxhash64(canon(col("url"))).as("urlHash"), canon(col("url")).as("url"))
 

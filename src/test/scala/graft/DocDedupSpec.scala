@@ -92,6 +92,21 @@ class DocDedupSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("cappedBucketPairs streams pairs through a self-join, never one pair array") {
+    // one hot bucket of 50 ids capped at 40: output must be exactly the
+    // C(40,2) i<j pairs over the 40 LOWEST ids, each emitted once — and the
+    // plan must not build the pairs as a single flattened array value (the
+    // shape that exceeds the 2^31 array limit at the simhash default cap)
+    val bucketed = (1 to 50).map(i => (i.toLong, "b0")).toDF("id", "bucket")
+    val pairs = DocDedup.cappedBucketPairs(
+      bucketed, Seq("bucket"), maxBucket = 40, logDropped = false, "spec")
+    val got = pairs.as[(Long, Long)].collect().toSet
+    val expect = (for { a <- 1 to 40; b <- (a + 1) to 40 } yield (a.toLong, b.toLong)).toSet
+    assert(got === expect)
+    val plan = pairs.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("flatten"), plan)
+  }
+
   test("md5Long64 matches the cross-engine anchor value") {
     // DuckDB: SELECT ('0x' || substr(md5('abc'),1,16))::UBIGINT
     //         = 10376663631224000432 = -8070080442485551184 as signed 64-bit.

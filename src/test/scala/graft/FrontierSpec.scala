@@ -126,6 +126,36 @@ class FrontierSpec extends SparkSpec {
     assert(graft.plan.Dims.availCurrencies(pages, "Visa") === Seq("USD", "GBP", "AUD"))
   }
 
+  test("availCurrencies refuses multiple dimension pages (page order undefined)") {
+    val pages = Seq(
+      graft.synth.Synth.visaCurrencyPage(Seq("USD", "GBP")),
+      graft.synth.Synth.visaCurrencyPage(Seq("EUR"))).toDF("text")
+    val e = intercept[IllegalArgumentException] {
+      graft.plan.Dims.availCurrencies(pages, "Visa")
+    }
+    assert(e.getMessage.contains("one dimension page"))
+  }
+
+  test("withGlobalRank: dense, stable ranks on a post-shuffle input") {
+    // The regression mode this guards: a bucket id derived from
+    // spark_partition_id() after repartitionByRange differs between the
+    // offsets action and the consuming plan (RangePartitioner's sampling is
+    // seeded per RDD id), silently duplicating/skipping ranks — reproduced
+    // at exactly this size before the value-pure bucket fix. seq is dense
+    // 0..4999 here, so a correct global rank must equal seq on every row,
+    // and an independent second build must agree exactly.
+    val left = (0 until 5000).map(i => (i.toLong, i % 7)).toDF("seq", "k")
+    val right = (0 until 7).map(k => (k, s"g$k")).toDF("k", "g")
+    val shuffled = left.hint("merge").join(right, "k")
+    val a = Frontier.withGlobalRank(shuffled, "seq", "r", partitions = 8)
+      .select("seq", "r").as[(Long, Long)].collect()
+    assert(a.length === 5000)
+    assert(a.forall { case (s, r) => s == r })
+    val b = Frontier.withGlobalRank(shuffled, "seq", "r", partitions = 8)
+      .select("seq", "r").as[(Long, Long)].collect().toMap
+    assert(a.forall { case (s, r) => b(s) == r })
+  }
+
   test("withShard leaks no cached RDDs across repeated calls") {
     val currs = Frontier.currencyDim(spark, Seq("GBP", "USD"))
     val cands = Frontier.candidates(currs, testDate, 8)
