@@ -120,20 +120,35 @@ object DocDedup {
       coalesce(sum(when(col(rnCol) > maxBucket, 1L).otherwise(0L)), lit(0L)).as("dropped"))
   }
 
+  /** Largest `maxBucket` the collect-then-flatten pair shape may serve:
+    * C(2048, 2) ≈ 2.1M pair structs ≈ 34 MB as one array value — two orders
+    * of magnitude under the JVM's 2^31 array-length ceiling. Above this the
+    * self-join shape takes over (see [[cappedBucketPairs]]).
+    */
+  private[graft] val MaxArrayPairBucket = 2048
+
   /** The shared candidate-pair skeleton for bucketed near-dup methods:
     * a SLIM (id, bucket keys…) stream is ranked per bucket, capped (with the
-    * dropped coverage observed on the same job), and paired i<j by a
-    * self-join on the bucket keys. The join STREAMS pairs: a bucket at the
-    * cap emits C(maxBucket, 2) output ROWS but never materializes them as
-    * one value — the previous collect_list-then-flatten shape built all
-    * pairs of a bucket into a single array, which at the simhash default
-    * cap (100k ids ⇒ 5·10^9 structs) exceeds Spark's 2^31 array limit and
-    * dies exactly on the hot-bucket path the cap exists for. Both join
-    * sides canonicalize to the same window subtree, so the range shuffle
-    * under it is planned once and reused (ReusedExchange); the observer
-    * node rides only side A — the same CollectMetrics name twice in one
-    * query tree is an analysis error, and one side sees every ranked row
-    * anyway. Fat payload columns (signatures, embeddings) must NOT be in
+    * dropped coverage observed on the same job), and turned into i<j pairs.
+    * TWO shapes, chosen by the cap, because neither dominates:
+    *
+    *  - `maxBucket` ≤ [[MaxArrayPairBucket]]: group ids per bucket (the
+    *    groupBy reuses the window's partitioning — no extra exchange) and
+    *    emit the pairs from one bounded nested transform. Single consumer —
+    *    the expensive upstream (signature kernels) runs ONCE.
+    *  - larger caps: a self-join of the capped stream on the bucket keys.
+    *    A bucket at the simhash default cap (100k ids ⇒ 5·10^9 pairs) would
+    *    overflow the 2^31 array limit as one flattened value; the join
+    *    STREAMS those pairs as rows (the inner side buffers ≤ cap slim rows
+    *    per key). Cost, honestly: Spark does not reuse the exchange between
+    *    the two sides (the lambda-heavy signature subtrees defeat plan
+    *    canonicalization — measured, not assumed), so the upstream kernel
+    *    runs twice; that is the price of unbounded-cap memory safety, paid
+    *    only by callers who raise the cap past the array bound. The
+    *    observer rides only side A — duplicate CollectMetrics names in one
+    *    query are an analysis error, and one side sees every ranked row.
+    *
+    * Fat payload columns (signatures, embeddings) must NOT be in
     * `bucketed` — callers attach them to the surviving pairs afterwards
     * (see [[attachPairSides]]). row_number for the cap so a degenerate
     * bucket of any size streams through the rank instead of materializing.
@@ -145,17 +160,28 @@ object DocDedup {
       logDropped: Boolean,
       op: String): DataFrame = {
     val w = Window.partitionBy(bucketCols.map(col): _*).orderBy("id")
-    def capped(observe: Boolean, idAs: String): DataFrame = {
+    def capped(observe: Boolean): DataFrame = {
       val ranked = bucketed.withColumn("__rn", row_number().over(w))
       val observed = if (observe) withDroppedObserver(op, ranked, "__rn", maxBucket) else ranked
-      observed.filter(col("__rn") <= maxBucket)
-        .select(bucketCols.map(col) :+ col("id").as(idAs): _*)
+      observed.filter(col("__rn") <= maxBucket).drop("__rn")
     }
-    capped(logDropped, "id_a")
-      .join(capped(observe = false, "id_b"), bucketCols)
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b")
+    val pairs =
+      if (maxBucket <= MaxArrayPairBucket)
+        capped(logDropped)
+          .groupBy(bucketCols.map(col): _*)
+          .agg(sort_array(collect_list(col("id"))).as("ids"))
+          .filter(size(col("ids")) >= 2)
+          .select(explode(flatten(transform(col("ids"), (x, i) =>
+            transform(slice(col("ids"), i + 2, size(col("ids"))),
+              y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+          .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      else
+        capped(logDropped).select(bucketCols.map(col) :+ col("id").as("id_a"): _*)
+          .join(capped(observe = false).select(bucketCols.map(col) :+ col("id").as("id_b"): _*),
+            bucketCols)
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b")
+    pairs.dropDuplicates("id_a", "id_b")
   }
 
   /** Attach a per-id payload column to both sides of a pair frame with ONE

@@ -92,18 +92,22 @@ class DocDedupSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
-  test("cappedBucketPairs streams pairs through a self-join, never one pair array") {
-    // one hot bucket of 50 ids capped at 40: output must be exactly the
-    // C(40,2) i<j pairs over the 40 LOWEST ids, each emitted once — and the
-    // plan must not build the pairs as a single flattened array value (the
-    // shape that exceeds the 2^31 array limit at the simhash default cap)
+  test("cappedBucketPairs: array and self-join shapes agree; big caps never build one pair array") {
+    // one hot bucket of 50 ids. Cap 40 picks the array shape; a cap above
+    // MaxArrayPairBucket picks the streaming self-join (the shape that
+    // cannot exceed the 2^31 array limit at the simhash default cap).
+    // Both must produce exactly the expected i<j pair set.
     val bucketed = (1 to 50).map(i => (i.toLong, "b0")).toDF("id", "bucket")
-    val pairs = DocDedup.cappedBucketPairs(
+    val arr = DocDedup.cappedBucketPairs(
       bucketed, Seq("bucket"), maxBucket = 40, logDropped = false, "spec")
-    val got = pairs.as[(Long, Long)].collect().toSet
-    val expect = (for { a <- 1 to 40; b <- (a + 1) to 40 } yield (a.toLong, b.toLong)).toSet
-    assert(got === expect)
-    val plan = pairs.queryExecution.optimizedPlan.toString
+    val expectCapped = (for { a <- 1 to 40; b <- (a + 1) to 40 } yield (a.toLong, b.toLong)).toSet
+    assert(arr.as[(Long, Long)].collect().toSet === expectCapped)
+    val joined = DocDedup.cappedBucketPairs(
+      bucketed, Seq("bucket"), maxBucket = DocDedup.MaxArrayPairBucket + 1,
+      logDropped = false, "spec")
+    val expectAll = (for { a <- 1 to 50; b <- (a + 1) to 50 } yield (a.toLong, b.toLong)).toSet
+    assert(joined.as[(Long, Long)].collect().toSet === expectAll)
+    val plan = joined.queryExecution.optimizedPlan.toString
     assert(!plan.toLowerCase.contains("flatten"), plan)
   }
 
