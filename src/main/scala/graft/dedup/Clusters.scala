@@ -86,9 +86,7 @@ object Clusters {
     val hadoopConf = spark.sessionState.newHadoopConf()
     val scratch = workDir.getOrElse {
       val dir = java.nio.file.Files.createTempDirectory("graft-cc").toString
-      sys.addShutdownHook {
-        try deleteRecursively(hadoopConf, dir) catch { case _: Exception => () }
-      }
+      registerScratchCleanup(hadoopConf, dir)
       dir
     }
 
@@ -162,5 +160,25 @@ object Clusters {
   private def deleteRecursively(conf: org.apache.hadoop.conf.Configuration, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(conf).delete(p, true): Unit
+  }
+
+  // ONE shutdown hook draining a shared queue — a hook per resolveClusters
+  // call would accumulate a never-removed Thread (each pinning a Hadoop
+  // Configuration) for every auto-created scratch in a long-lived session
+  private val pendingScratch =
+    new java.util.concurrent.ConcurrentLinkedQueue[(org.apache.hadoop.conf.Configuration, String)]()
+  private val cleanupHookArmed = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def registerScratchCleanup(
+      conf: org.apache.hadoop.conf.Configuration, dir: String): Unit = {
+    pendingScratch.add((conf, dir))
+    if (cleanupHookArmed.compareAndSet(false, true))
+      sys.addShutdownHook {
+        var next = pendingScratch.poll()
+        while (next != null) {
+          try deleteRecursively(next._1, next._2) catch { case _: Exception => () }
+          next = pendingScratch.poll()
+        }
+      }: Unit
   }
 }

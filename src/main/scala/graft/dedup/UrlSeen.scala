@@ -187,25 +187,21 @@ object UrlSeen {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
-  private[graft] def readSidecarStatic(dir: String, pm: Long): (Long, Long) = {
+  /** One parser for the `"capacity count generation"` sidecar format
+    * (generation is 0 for legacy 2-field sidecars; all-zero when missing).
+    */
+  private[dedup] def readSidecar(dir: String, pm: Long): (Long, Long, Long) = {
     val p = java.nio.file.Paths.get(dir, f"bloom-$pm%05d.cnt")
-    if (!java.nio.file.Files.exists(p)) (0L, 0L)
+    if (!java.nio.file.Files.exists(p)) (0L, 0L, 0L)
     else {
       val parts = java.nio.file.Files.readString(p).trim.split(" ")
-      (parts(0).toLong, parts(1).toLong)
+      (parts(0).toLong, parts(1).toLong, if (parts.length >= 3) parts(2).toLong else 0L)
     }
   }
 
-  /** The sidecar's per-write generation token (0 for legacy 2-field
-    * sidecars / missing files) — the probe cache's freshness stamp.
-    */
-  private[dedup] def readSidecarGen(dir: String, pm: Long): Long = {
-    val p = java.nio.file.Paths.get(dir, f"bloom-$pm%05d.cnt")
-    if (!java.nio.file.Files.exists(p)) 0L
-    else {
-      val parts = java.nio.file.Files.readString(p).trim.split(" ")
-      if (parts.length >= 3) parts(2).toLong else 0L
-    }
+  private[graft] def readSidecarStatic(dir: String, pm: Long): (Long, Long) = {
+    val (cap, n, _) = readSidecar(dir, pm)
+    (cap, n)
   }
 
   private[dedup] def loadFilter(dir: String, pm: Long): Option[BloomFilter] = {
@@ -299,9 +295,9 @@ object UrlSeen {
   * `.cnt` sidecar and the cache reloads on ANY token change. Read order
   * (.cnt then .bin, the reverse of the write order) means a new token is
   * only ever paired with an equal-or-newer .bin — a superset, safe by the
-  * bloom invariant. The cache is size-bounded (cleared wholesale past
-  * [[PartitionedBloomProbe.MaxEntries]]) so filters for long-dead
-  * checkpoint dirs cannot accumulate for the executor's lifetime.
+  * bloom invariant. The cache is BYTE-bounded (cleared wholesale past
+  * [[PartitionedBloomProbe.MaxCachedBytes]]) so filters for long-dead
+  * checkpoint dirs cannot accumulate heap for the executor's lifetime.
   */
 class PartitionedBloomProbe(dir: String) extends ((Long, Long) => Boolean) with Serializable {
   @transient private lazy val taskCache =
@@ -312,16 +308,23 @@ class PartitionedBloomProbe(dir: String) extends ((Long, Long) => Boolean) with 
 }
 
 object PartitionedBloomProbe {
-  private[dedup] val MaxEntries = 8192
+  /** Cache bound in BYTES (serialized filter size), not entry count: a
+    * handful of rebuilt multi-MB filters for dead checkpoint dirs is the
+    * realistic leak, and an entry-count bound would OOM long before
+    * firing. Wholesale clear on breach — live filters reload on next
+    * probe at one file read each; crude, self-healing, bounded.
+    */
+  private[dedup] val MaxCachedBytes = 1L << 30
   private final case class Stamp(gen: Long, size: Long, sec: Long, nano: Int)
   private final case class Entry(stamp: Stamp, bf: Option[BloomFilter])
   private val jvmCache = new java.util.concurrent.ConcurrentHashMap[String, Entry]()
+  private val cachedBytes = new java.util.concurrent.atomic.AtomicLong()
 
   // .cnt (generation) read BEFORE the .bin stat/read — see the class doc
   private def stampOf(dir: String, pm: Long, p: java.nio.file.Path): Stamp =
     if (!java.nio.file.Files.exists(p)) Stamp(0L, -1L, -1L, -1)
     else {
-      val gen = UrlSeen.readSidecarGen(dir, pm)
+      val (_, _, gen) = UrlSeen.readSidecar(dir, pm)
       val t = java.nio.file.Files.getLastModifiedTime(p).toInstant
       Stamp(gen, java.nio.file.Files.size(p), t.getEpochSecond, t.getNano)
     }
@@ -329,13 +332,23 @@ object PartitionedBloomProbe {
   private def load(dir: String, pm: Long): Option[BloomFilter] = {
     val path = java.nio.file.Paths.get(dir, f"bloom-$pm%05d.bin")
     val stamp = stampOf(dir, pm, path)
-    if (jvmCache.size() > MaxEntries) jvmCache.clear() // dead-dir backstop
-    jvmCache.compute(s"$dir#$pm", (_, old) =>
+    if (cachedBytes.get() > MaxCachedBytes) { // dead-dir backstop
+      jvmCache.clear()
+      cachedBytes.set(0L)
+    }
+    jvmCache.compute(s"$dir#$pm", (_, old) => {
       if (old != null && old.stamp == stamp) old
-      else if (stamp.size < 0) Entry(stamp, None)
       else {
-        val in = java.nio.file.Files.newInputStream(path)
-        try Entry(stamp, Some(BloomFilter.readFrom(in))) finally in.close()
-      }).bf
+        if (old != null) cachedBytes.addAndGet(-math.max(old.stamp.size, 0L))
+        if (stamp.size < 0) Entry(stamp, None)
+        else {
+          val in = java.nio.file.Files.newInputStream(path)
+          try {
+            cachedBytes.addAndGet(stamp.size)
+            Entry(stamp, Some(BloomFilter.readFrom(in)))
+          } finally in.close()
+        }
+      }
+    }).bf
   }
 }

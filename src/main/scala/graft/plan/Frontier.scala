@@ -126,19 +126,50 @@ object Frontier {
     // Value-pure bucket ids are immune to re-execution, task retry,
     // speculative duplicates, and AQE re-planning, and need no cache or
     // checkpoint to pin (nothing persisted — nothing to leak).
-    val n = df.count()
-    if (n == 0L) return df.withColumn(rankCol, lit(0L)).filter(lit(false))
-    // deterministic "sample": keep order values whose hash ≡ 0 (mod k) — a
-    // value-defined subset, independent of row order or partitioning
-    val targetSample = math.max(partitions.toLong * 128L, 1024L)
-    val k = math.max(1L, n / targetSample)
-    val sampled = df
-      .select(col(orderCol)).filter(pmod(xxhash64(col(orderCol)), lit(k)) === 0)
-      .distinct().orderBy(orderCol)
-      .collect().map(_.get(0))
-    val step = if (sampled.isEmpty) 0.0 else sampled.length.toDouble / partitions
-    val bnds = if (sampled.isEmpty) Seq.empty[Any]
-      else (1 until partitions).map(i => sampled((i * step).toInt)).distinct
+    // Boundaries are ROW-frequency-weighted quantiles (percentile_approx),
+    // not equal steps through the distinct-value list: a duplicate-heavy
+    // order column (10^9 rows over 365 dates) has almost no distinct values
+    // to sample, and value-stepped boundaries would ignore that one value
+    // can hold most of the rows — either way funneling the input into one
+    // bucket. Boundary QUALITY only affects balance, never correctness
+    // (offsets are counted against the actual buckets), so the approximate,
+    // order-sensitive sketch is fine here — the literals are frozen once.
+    // Inherent limit, documented: all rows of ONE value share a bucket
+    // (ties have no defined rank order); rank by a finer key if a single
+    // hot value dominates. Cost: one slim quantile pass + one counts pass
+    // before the consumer's own execution.
+    val fracs = (1 until partitions).map(_.toDouble / partitions)
+    val percentileTypes: PartialFunction[org.apache.spark.sql.types.DataType, Unit] = {
+      case _: org.apache.spark.sql.types.NumericType => ()
+      case org.apache.spark.sql.types.DateType => ()
+      case org.apache.spark.sql.types.TimestampType => ()
+      case org.apache.spark.sql.types.TimestampNTZType => ()
+    }
+    val bnds: Seq[Any] =
+      if (percentileTypes.isDefinedAt(df.schema(orderCol).dataType)) {
+        val row = df.select(percentile_approx(
+          col(orderCol), lit(fracs.toArray), lit(10000)).as("q")).head()
+        if (row.isNullAt(0)) Seq.empty[Any]
+        else row.getSeq[Any](0).filter(_ != null).distinct
+      } else {
+        // non-percentile types (e.g. strings): step through a deterministic
+        // value hash-sample — coarser on duplicate-heavy columns, and one
+        // extra count() pass to size the sampling modulus
+        val n = df.count()
+        if (n == 0L) Seq.empty[Any]
+        else {
+          val k = math.max(1L, n / math.max(partitions.toLong * 128L, 1024L))
+          val sampled = df
+            .select(col(orderCol)).filter(pmod(xxhash64(col(orderCol)), lit(k)) === 0)
+            .distinct().orderBy(orderCol)
+            .collect().map(_.get(0))
+          if (sampled.isEmpty) Seq.empty[Any]
+          else {
+            val step = sampled.length.toDouble / partitions
+            (1 until partitions).map(i => sampled((i * step).toInt)).distinct
+          }
+        }
+      }
     // bucket = how many boundaries sort at-or-below the value; the literal
     // array is `partitions`-sized (bounded), evaluated in codegen per row
     val pidExpr = if (bnds.isEmpty) lit(0)

@@ -145,8 +145,8 @@ object Streams {
     // expand → dedup → anti-join chain (the same recompute-per-action shape
     // the batch CrawlJob caches against)
     val fresh = UrlSeen.filterNewExact(UrlSeen.dedupWithinBatch(frontier), seenDf).cache()
-    fresh.count()
-    try {
+    try { // count() inside: a throw during materialization must still unpersist
+      fresh.count()
       val fetched = fresh.hint("shuffle_hash")
         .join(pages.select(col("url"), col("text")), Seq("url"), "left")
       val extracted = fetched.select(

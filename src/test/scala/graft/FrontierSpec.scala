@@ -156,6 +156,19 @@ class FrontierSpec extends SparkSpec {
     assert(a.forall { case (s, r) => b(s) == r })
   }
 
+  test("withGlobalRank: duplicate-heavy order column still ranks densely and in order") {
+    // 50k rows over 23 distinct values: a distinct-VALUE boundary sample
+    // would be nearly empty here (and frequency-blind), funneling all rows
+    // into one bucket; the frequency-weighted quantile boundaries must
+    // still produce dense 0..n-1 ranks that respect the value order
+    val df = (0 until 50000).map(i => (i % 23).toLong).toDF("v")
+    val ranked = Frontier.withGlobalRank(df, "v", "r", partitions = 8)
+      .select("v", "r").as[(Long, Long)].collect()
+    assert(ranked.map(_._2).sorted.toSeq === (0L until 50000L))
+    val byV = ranked.groupBy(_._1).map { case (v, ps) => v -> ps.map(_._2) }
+    (0L until 22L).foreach { v => assert(byV(v).max < byV(v + 1).min) }
+  }
+
   test("withShard leaks no cached RDDs across repeated calls") {
     val currs = Frontier.currencyDim(spark, Seq("GBP", "USD"))
     val cands = Frontier.candidates(currs, testDate, 8)
