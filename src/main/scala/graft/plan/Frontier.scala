@@ -146,7 +146,8 @@ object Frontier {
       case org.apache.spark.sql.types.TimestampNTZType => ()
     }
     val bnds: Seq[Any] =
-      if (percentileTypes.isDefinedAt(df.schema(orderCol).dataType)) {
+      if (fracs.isEmpty) Seq.empty[Any] // partitions <= 1: one bucket, rank serial
+      else if (percentileTypes.isDefinedAt(df.schema(orderCol).dataType)) {
         val row = df.select(percentile_approx(
           col(orderCol), lit(fracs.toArray), lit(10000)).as("q")).head()
         if (row.isNullAt(0)) Seq.empty[Any]

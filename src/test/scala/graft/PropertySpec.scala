@@ -78,6 +78,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: withGlobalRank ≡ sorted position for random inputs, dups, any partitions") {
+    val caseGen = for {
+      n <- Gen.choose(0, 400)
+      card <- Gen.oneOf(3, 17, 1000) // duplicate-heavy through near-unique
+      parts <- Gen.choose(1, 9)      // includes the degenerate single bucket
+      vals <- Gen.listOfN(n, Gen.choose(0L, card.toLong))
+    } yield (vals, parts)
+    Iterator.continually(caseGen.sample).flatten.take(10).foreach { case (vals, parts) =>
+      val df = vals.zipWithIndex.toDF("v", "i")
+      val got = graft.plan.Frontier.withGlobalRank(df, "v", "r", parts)
+        .select("v", "r").as[(Long, Long)].collect()
+      // dense 0..n-1, and rank order must agree with the value order:
+      // every rank boundary between different values matches sorted position
+      assert(got.map(_._2).sorted.toSeq === (0L until vals.length.toLong))
+      val sortedVals = vals.sorted
+      got.foreach { case (v, r) => assert(sortedVals(r.toInt) === v, s"rank $r holds $v") }
+    }
+  }
+
   test("property: incrementally-merged partitioned blooms ≡ exact over random rounds") {
     val gen = for {
       rounds <- Gen.choose(2, 4)
