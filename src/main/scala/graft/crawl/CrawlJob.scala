@@ -199,9 +199,12 @@ object CrawlJob {
       //    frontier anti-join. Offsite runs first, as in Scrapy: the spider
       //    middleware drops off-domain requests before they reach the
       //    scheduler/downloader at all.
+      // cache only NEW frames: a skipped gate passes the previous frame
+      // through, and re-caching it is a no-op that logs a CacheManager
+      // warning every round (unpersist below is idempotent either way)
       val onsiteF =
-        (if (allowedDomains.isEmpty) fresh else Robots.onSite(fresh, allowedDomains)).cache()
-      val allowedF = (if (robotsEmpty) onsiteF else Robots.allowed(onsiteF, robots)).cache()
+        if (allowedDomains.isEmpty) fresh else Robots.onSite(fresh, allowedDomains).cache()
+      val allowedF = if (robotsEmpty) onsiteF else Robots.allowed(onsiteF, robots).cache()
       // 3. per-host politeness schedule
       val sched = Scheduler.scheduleRound(allowedF, hostStates.toDF, cfg, roundSec)
         .cache()
