@@ -111,6 +111,20 @@ class DocDedupSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("flatten"), plan)
   }
 
+  test("self-join shape streams ~2M pairs from one hot bucket (beyond the array threshold)") {
+    // 2000 ids in ONE bucket with a cap above MaxArrayPairBucket: the join
+    // path must emit exactly C(2000,2) = 1,999,000 pairs as rows — the
+    // volume class where a single flattened pair array stops being an
+    // option (and the count that would silently shrink if the join
+    // condition or dedup were wrong)
+    val bucketed = (1 to 2000).map(i => (i.toLong, 0)).toDF("id", "chunk")
+    val pairs = DocDedup.cappedBucketPairs(
+      bucketed, Seq("chunk"), maxBucket = DocDedup.MaxArrayPairBucket + 1,
+      logDropped = false, "spec")
+    assert(pairs.count() === 1999000L)
+    assert(pairs.filter(col("id_a") >= col("id_b")).count() === 0L)
+  }
+
   test("md5Long64 matches the cross-engine anchor value") {
     // DuckDB: SELECT ('0x' || substr(md5('abc'),1,16))::UBIGINT
     //         = 10376663631224000432 = -8070080442485551184 as signed 64-bit.
