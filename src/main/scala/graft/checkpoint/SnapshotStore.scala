@@ -59,10 +59,14 @@ final class SnapshotStore(rootDir: String) {
   /** Table→path map of a committed snapshot. */
   def readManifest(version: Int): Map[String, String] = {
     val body = Files.readString(manifests.resolve(s"v$version.json"))
-    // manifest JSON is machine-written flat key-value; parse accordingly
-    """"([^"\\]+)":\s*"([^"\\]*)"""".r
+    // manifest JSON is machine-written flat key-value; parse accordingly.
+    // The token pattern accepts escape pairs — a value containing `\` or
+    // `"` (e.g. a Windows checkpoint path) is written escaped by esc(), and
+    // a reader that cannot match escapes would silently DROP that table
+    // from the map, breaking resume.
+    """"((?:[^"\\]|\\.)+)":\s*"((?:[^"\\]|\\.)*)"""".r
       .findAllMatchIn(body)
-      .map(m => m.group(1) -> m.group(2))
+      .map(m => unesc(m.group(1)) -> unesc(m.group(2)))
       .toMap
   }
 
@@ -97,4 +101,19 @@ final class SnapshotStore(rootDir: String) {
   }
 
   private def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  /** Inverse of [[esc]]: a left-to-right scan (sequential replace would
+    * mis-decode `\\` followed by `"`).
+    */
+  private def unesc(s: String): String =
+    if (!s.contains('\\')) s
+    else {
+      val b = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        if (s.charAt(i) == '\\' && i + 1 < s.length) { b.append(s.charAt(i + 1)); i += 2 }
+        else { b.append(s.charAt(i)); i += 1 }
+      }
+      b.toString
+    }
 }

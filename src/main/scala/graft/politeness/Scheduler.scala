@@ -1,6 +1,6 @@
 package graft.politeness
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -53,7 +53,6 @@ object Scheduler {
       hostStates: DataFrame,
       cfg: PolitenessConfig,
       roundSec: Double): DataFrame = {
-    val spark = frontier.sparkSession
     val budgetUdf = udf((delay: Double) => budgetFor(delay, roundSec, cfg))
     val states = hostStates.select(col("host").as("__shost"), col("delaySec").as("__delay"))
 
@@ -139,9 +138,16 @@ object Scheduler {
       .join(fetchedNow, Seq("host"), "full_outer")
       .select(
         col("host"),
-        least(
-          (coalesce(col("delaySec"), lit(cfg.startDelaySec)) + targetDelay) / 2.0,
-          lit(maxDelaySec)).as("delaySec"),
+        // the AIMD average moves ONLY on observed fetches (Scrapy adjusts
+        // per response): a throttled host that gets no budget this round
+        // must keep its delay, or ~10 idle rounds would silently halve it
+        // back to nothing and un-throttle a slow host without one new
+        // latency sample
+        when(coalesce(col("__f"), lit(0L)) > 0L,
+          least(
+            (coalesce(col("delaySec"), lit(cfg.startDelaySec)) + targetDelay) / 2.0,
+            lit(maxDelaySec)))
+          .otherwise(coalesce(col("delaySec"), lit(cfg.startDelaySec))).as("delaySec"),
         (coalesce(col("clockSec"), lit(0.0)) + roundSec).as("clockSec"),
         (coalesce(col("fetched"), lit(0L)) + coalesce(col("__f"), lit(0L))).as("fetched"))
       .as[HostState]

@@ -26,8 +26,14 @@ object PageStore {
     // a fresh in-memory catalog can't "overwrite" a table whose location
     // survives from a previous session — drop both the entry and the files
     spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    // Spark stores managed-table directories LOWERCASED; building the path
+    // from tableName verbatim would miss the real directory for any
+    // mixed-case name and saveAsTable would then fail on the stale
+    // location. (Simple table names only — qualified names live under
+    // <db>.db/<table> and take the catalog path instead.)
     val loc = new java.io.File(
-      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, tableName)
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
+      tableName.toLowerCase)
     if (loc.exists()) {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm)

@@ -3,7 +3,6 @@ package graft.synth
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.urls.Urls
 
 /** Web-scale bench workload (BASELINE.md protocol): a synthetic frontier of
   * `nUrls` URLs spread over `nHosts` hosts with a deliberate hot host
@@ -14,7 +13,6 @@ import graft.urls.Urls
   */
 object BenchWorkload {
 
-  private val canonicalUdf = udf((u: String) => Urls.canonicalize(u))
 
   /** Frontier rows ready for CrawlJob.run. Unique (card, trans, date) keys
     * per URL so the rates unique-constraint upsert stays meaningful.
@@ -25,7 +23,7 @@ object BenchWorkload {
       .otherwise(concat(lit("host-"), pmod(xxhash64(col("id")), lit(nHosts.toLong)), lit(".example.com")))
     ids
       .withColumn("url", concat(lit("https://"), host, lit("/rates/page-"), col("id")))
-      .withColumn("canonUrl", canonicalUdf(col("url")))
+      .withColumn("canonUrl", graft.urls.UrlCols.canonicalUdf(col("url")))
       .withColumn("urlHash", xxhash64(col("canonUrl")))
       .withColumn("host", host)
       .withColumn("card_c", concat(lit("C"), col("id").cast("string")))

@@ -20,8 +20,13 @@ object UrlCols {
     * wild), which would collapse those rows into one NULL politeness bucket,
     * break the offsite filter, and make robots rules silently fail open for
     * exactly those hosts. Coalesce evaluates the UDF only on the rare NULL
-    * rows, so the hot path stays codegen.
+    * rows, so the hot path stays codegen. The trailing-dot strip mirrors
+    * [[Urls.hostOf]]/[[Urls.canonicalize]] — a dotted FQDN must land in the
+    * same politeness bucket and match the same robots rules as its
+    * undotted twin.
     */
   def hostCol(url: Column): Column =
-    coalesce(lower(parse_url(url, lit("HOST"))), hostOfUdf(url))
+    coalesce(
+      regexp_replace(lower(parse_url(url, lit("HOST"))), "\\.$", ""),
+      hostOfUdf(url))
 }

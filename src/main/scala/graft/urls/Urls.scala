@@ -87,8 +87,11 @@ object Urls {
   private def isPathSafe(c: Char): Boolean =
     (c.isLetterOrDigit && c < 128) || "-_.~!$&'()*+,;=:@/%".indexOf(c) >= 0
 
-  /** Uppercase existing %XX escapes; encode raw non-safe bytes; leave safe
-    * bytes alone (w3lib-style percent-normalization, idempotent).
+  /** Percent-normalization (w3lib-style unquote-then-requote, idempotent):
+    * escapes of UNRESERVED bytes (RFC 3986 §2.3: ALNUM + `-._~`) decode to
+    * the bare character — `%7E` and `~` are byte-identical resources and
+    * must share one dedup key; every other escape keeps uppercase hex; raw
+    * non-safe bytes are encoded.
     */
   private def normalizeEscapes(s: String, safe: Char => Boolean): String = {
     val sb = new StringBuilder(s.length)
@@ -97,8 +100,13 @@ object Urls {
       val c = s.charAt(i)
       if (c == '%' && i + 2 < s.length &&
           isHex(s.charAt(i + 1)) && isHex(s.charAt(i + 2))) {
-        sb.append('%').append(Character.toUpperCase(s.charAt(i + 1)))
-          .append(Character.toUpperCase(s.charAt(i + 2)))
+        val b = Integer.parseInt(s.substring(i + 1, i + 3), 16)
+        val ch = b.toChar
+        if (b < 128 && (ch.isLetterOrDigit || ch == '-' || ch == '_' || ch == '.' || ch == '~'))
+          sb.append(ch)
+        else
+          sb.append('%').append(Character.toUpperCase(s.charAt(i + 1)))
+            .append(Character.toUpperCase(s.charAt(i + 2)))
         i += 3
       } else if (safe(c)) { sb.append(c); i += 1 }
       else {
@@ -160,7 +168,10 @@ object Urls {
     s"$scheme://$userinfo$canonHost$canonPort$canonPath$canonQuery"
   }
 
-  /** Host of a URL (lowercased, no port) — the politeness/partitioning key. */
+  /** Host of a URL (lowercased, no port, trailing dot stripped — the SAME
+    * normalization [[canonicalize]] applies, so the dedup key and the
+    * politeness/robots key can never disagree about a dotted-FQDN URL).
+    */
   def hostOf(url: String): String = {
     val i = url.indexOf("://")
     val rest = if (i < 0) url else url.substring(i + 3)
@@ -171,7 +182,7 @@ object Urls {
     val auth = rest.substring(0, end)
     val at = auth.lastIndexOf('@')
     val hostport = if (at < 0) auth else auth.substring(at + 1)
-    splitOnce(hostport, ':')._1.toLowerCase
+    splitOnce(hostport, ':')._1.toLowerCase.stripSuffix(".")
   }
 
   /** splitOnce("a#b", '#') = ("a", Some("b")); ("a#b", None) if sep absent. */

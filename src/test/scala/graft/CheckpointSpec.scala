@@ -29,6 +29,19 @@ class CheckpointSpec extends SparkSpec {
     assert(store.versions() === Seq(1, 2))
   }
 
+  test("SnapshotStore: manifest round-trips keys/values containing quotes and backslashes") {
+    // esc() writes them escaped; a reader that can't match escape pairs
+    // silently DROPS those tables from the map and resume loses state
+    val dir = java.nio.file.Files.createTempDirectory("snapesc").toString
+    val store = new graft.checkpoint.SnapshotStore(dir)
+    val tables = Map(
+      "rates" -> """C:\data\crawl\v1""",
+      "odd\"name" -> """/tmp/has"quote/v1""",
+      "seen" -> "/plain/path/v1")
+    store.commit(1, tables)
+    assert(store.readManifest(1) === tables)
+  }
+
   test("SnapshotStore.dropAll: store returns to the empty state (drop_all_tables dual)") {
     val dir = Files.createTempDirectory("snapdrop").toString
     val store = new SnapshotStore(dir)

@@ -121,6 +121,58 @@ class SchedulerSpec extends SparkSpec {
       graft.model.RobotsRule("h.com", "/cgi-bin/ok", true)))
   }
 
+  test("host state update: idle hosts keep their delay (AIMD moves only on fetches)") {
+    import graft.model.HostState
+    val s0 = Seq(
+      HostState("slow.com", delaySec = 60.0, clockSec = 0.0, fetched = 5L),
+      HostState("busy.com", delaySec = 2.0, clockSec = 0.0, fetched = 0L)).toDS()
+    val sched = frontier(("busy.com", "u1", 0, 1L)) // slow.com gets no budget
+    val s1 = Scheduler.updateHostStates(sched, s0, cfg, round = 1, roundSec = 10.0)
+      .collect().map(s => s.host -> s).toMap
+    // slow.com observed nothing: its throttle must NOT decay toward zero
+    assert(s1("slow.com").delaySec === 60.0)
+    assert(s1("slow.com").fetched === 5L)
+    // busy.com fetched: AIMD average moves
+    assert(s1("busy.com").delaySec < 2.0)
+  }
+
+  test("robots parser: multi-UA groups, inline comments") {
+    val body =
+      """User-agent: *   # all crawlers
+        |User-agent: somebot
+        |Disallow: /blocked # staff only
+        |
+        |User-agent: otherbot
+        |Disallow: /other
+        |""".stripMargin
+    // the star group lists a second UA line — its rules still apply to *;
+    // inline comments never become part of the path
+    assert(Robots.parse("h.com", body) ===
+      Seq(graft.model.RobotsRule("h.com", "/blocked", allow = false)))
+  }
+
+  test("robots wildcards: * and $ match per RFC 9309; Allow wins length ties") {
+    val f = Seq(
+      ("a.com", "https://a.com/private/x", 0, 1L),
+      ("a.com", "https://a.com/privateer", 0, 2L),
+      ("a.com", "https://a.com/doc.pdf", 0, 3L),
+      ("a.com", "https://a.com/doc.pdfx", 0, 4L),
+      ("a.com", "https://a.com/page", 0, 5L),
+      ("a.com", "https://a.com/item?sessionid=7", 0, 6L),
+      ("a.com", "https://a.com/item", 0, 7L))
+      .toDF("host", "url", "priority", "seq")
+    val rules = Seq(
+      ("a.com", "/private/*", false), // wildcard dir block
+      ("a.com", "/*.pdf$", false),    // anchored extension block
+      ("a.com", "/page", false),      // tied with the Allow below
+      ("a.com", "/page", true),       //   -> Allow wins the tie (RFC 9309)
+      ("a.com", "/*?sessionid=", false)) // query-matching rule
+      .toDF("host", "pathPrefix", "allow")
+    val out = Robots.allowed(f, rules).select("seq").as[Long].collect().toSet
+    assert(out === Set(2L, 4L, 5L, 7L),
+      s"expected privateer/doc.pdfx/page/item to survive, got $out")
+  }
+
   test("offsite filter keeps exact domain and subdomains only") {
     val f = Seq(
       ("mastercard.co.uk", "u1", 0, 1L),
