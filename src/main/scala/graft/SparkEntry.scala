@@ -748,7 +748,9 @@ object SparkEntry {
 
     "q29_doc_fingerprint" ->
       // winnowing selection recomputed verbatim: 60-bit md5 k-gram hashes
-      // (k=9), min per non-overlapping window of 16, distinct count
+      // (k=9), min per SLIDING window of 16 (step 1 — the Schleimer et al.
+      // selection, mirrored in TextFns.fingerprintUdf), distinct count; a
+      // doc with k-grams but fewer than 16 of them emits its overall min
       """WITH h AS (
            SELECT doc_id,
              CASE WHEN length(text) < 9 THEN CAST([] AS UBIGINT[])
@@ -757,9 +759,10 @@ object SparkEntry {
            FROM documents),
          sel AS (
            SELECT doc_id,
-             CASE WHEN len(hs) < 16 THEN CAST([] AS UBIGINT[])
-             ELSE list_transform(range((len(hs)-16)//16 + 1),
-                  w -> list_min(list_slice(hs, CAST(w AS INT)*16+1, CAST(w AS INT)*16+16))) END AS mins
+             CASE WHEN len(hs) = 0 THEN CAST([] AS UBIGINT[])
+             WHEN len(hs) < 16 THEN [list_min(hs)]
+             ELSE list_transform(range(len(hs)-15),
+                  w -> list_min(list_slice(hs, CAST(w AS INT)+1, CAST(w AS INT)+16))) END AS mins
            FROM h)
          SELECT doc_id, CAST(len(list_distinct(mins)) AS INT) AS n_fingerprints
          FROM sel ORDER BY doc_id""",

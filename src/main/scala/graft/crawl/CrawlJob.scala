@@ -22,9 +22,6 @@ import graft.politeness.{Robots, Scheduler}
   */
 object CrawlJob {
 
-  val MastercardId = 1
-  val VisaId = 2
-
   /** xxhash64 over the canonical URL — the dedup key (north_rule). */
   private val canonicalUdf = graft.urls.UrlCols.canonicalUdf
 
@@ -54,20 +51,6 @@ object CrawlJob {
       .withColumn("retries", lit(0))
       .select("url", "canonUrl", "urlHash", "host", "card_c", "trans_c", "date", "provider", "priority", "seq", "retries")
   }
-
-  private def emptyFrontier(spark: SparkSession): DataFrame =
-    spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType.fromDDL(
-        "url STRING, canonUrl STRING, urlHash BIGINT, host STRING, card_c STRING, trans_c STRING, " +
-        "date DATE, provider STRING, priority INT, seq BIGINT, retries INT"))
-
-  final case class RoundResult(
-      scheduled: Long,
-      dedupDropped: Long,
-      robotsDropped: Long,
-      errorDropped: Long,
-      ratesAppended: Long)
 
   /** Run (or resume) a crawl.
     *
@@ -167,9 +150,15 @@ object CrawlJob {
     // no robots rules at all (common in tests/bench) ⇒ skip the gate's
     // broadcast-join subtree every round; checked once, not per round
     val robotsEmpty = robots.isEmpty
+    // a fresh run's frontier is a COMPUTED plan (the within-batch dedup
+    // window): cache it so the loop-guard count and round 1's consumption
+    // evaluate it once. Resume frontiers are parquet-backed — nothing to
+    // save. Released at the end of round 1 with the other round caches.
+    if (resume.isEmpty) frontier = frontier.cache()
     var frontierCount = frontier.count()
     while (frontierCount > 0 && round < maxRounds) {
       round += 1
+      val frontierPrev = frontier
 
       val tRound = System.nanoTime()
       // 1. dedup against the seen set — INCREMENTAL partitioned-Bloom prune
@@ -419,6 +408,7 @@ object CrawlJob {
       allowedF.unpersist()
       onsiteF.unpersist()
       fresh.unpersist()
+      frontierPrev.unpersist() // no-op except for the cached fresh-run frontier
       frontierCount = lineageRows
         .filter(_.getString(1) == "frontier").map(_.getLong(3)).sum
       if (sys.env.contains("SPARK_GRAFT_VERBOSE"))

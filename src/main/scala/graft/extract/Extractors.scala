@@ -71,7 +71,9 @@ object Extractors {
       opts,
       o => struct(
         regexp_extract(o, """value="([^"]*)"""", 1).as("alpha_code"),
-        regexp_extract(o, """>([^<]*)<""", 1).as("opt_text")))
+        // anchored on the closing quote+'>' — a bare `>([^<]*)<` would
+        // match from a '>' INSIDE the value attribute and garble the name
+        regexp_extract(o, """">([^<]*)<""", 1).as("opt_text")))
     val threeChar = filter(parsed, s => length(s.getField("alpha_code")) === 3)
     transform(
       threeChar,

@@ -46,9 +46,17 @@ object DateFns {
     if (et.getHour < 14) d.minusDays(1) else d
   }
 
-  /** Column form of [[currentCrawlDate]] over a TIMESTAMP column (UTC). */
-  def currentCrawlDateCol(tsUtc: Column): Column = {
-    val et = convert_timezone(lit("UTC"), lit("America/New_York"), tsUtc)
+  /** Column form of [[currentCrawlDate]] over a TIMESTAMP column.
+    *
+    * The source label is `current_timezone()`, NOT a hardcoded "UTC":
+    * convert_timezone implicitly casts a TIMESTAMP argument to
+    * TIMESTAMP_NTZ by rendering the instant in the SESSION timezone, so
+    * the source must be that same session timezone or every non-UTC
+    * session silently computes Eastern time (and the 2pm crawl-date
+    * boundary) from the wrong wall clock.
+    */
+  def currentCrawlDateCol(ts: Column): Column = {
+    val et = convert_timezone(current_timezone(), lit("America/New_York"), ts)
     when(hour(et) < 14, date_sub(to_date(et), 1)).otherwise(to_date(et))
   }
 }

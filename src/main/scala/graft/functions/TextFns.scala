@@ -95,10 +95,12 @@ object TextFns {
 
   // ---------------------------------------------------------- fingerprint
 
-  /** Winnowing-style document fingerprint: hash every character k-gram,
-    * keep the minimum hash per window — a compact near-dup signature
-    * (k=9, window=16; Schleimer et al., SIGMOD'03). Deterministic; returns
-    * a sorted distinct array of selected hashes.
+  /** Winnowing document fingerprint: hash every character k-gram, slide a
+    * `window` over the hash sequence one position at a time and select each
+    * window's minimum — a compact near-dup signature with the winnowing
+    * guarantee (k=9, window=16; Schleimer et al., SIGMOD'03: any shared
+    * substring of length >= window+k-1 contributes a shared fingerprint).
+    * Deterministic; returns a sorted distinct array of selected hashes.
     *
     * Two k-gram hash families, same selection semantics:
     *  - "poly" (default): polynomial rolling hash, O(1) per position — the
@@ -140,19 +142,32 @@ object TextFns {
           i += 1
         }
       }
+      // TRUE winnowing selection: the window SLIDES one position at a time
+      // (Schleimer et al. §4 — any shared substring of length >= window+k-1
+      // then shares a fingerprint). Stepping by `window` instead (the
+      // tempting "block" reading) forfeits exactly that shift-robustness:
+      // one inserted character moves every later block boundary. Sliding
+      // minima via a monotonic deque — O(1) amortized per position, so the
+      // poly path stays O(n) overall. A short doc (k-grams exist but fewer
+      // than `window` of them) emits the minimum of what it has.
       val selected = scala.collection.mutable.SortedSet.empty[Long]
-      var w = 0
-      while (w + window <= n) {
-        var m = Long.MaxValue
-        var j = w
-        while (j < w + window) { if (hashes(j) < m) m = hashes(j); j += 1 }
-        selected += m
-        w += window
+      val dq = new java.util.ArrayDeque[Int]()
+      var p = 0
+      while (p < n) {
+        while (!dq.isEmpty && hashes(dq.peekLast()) >= hashes(p)) dq.pollLast()
+        dq.addLast(p)
+        while (dq.peekFirst() <= p - window) dq.pollFirst()
+        if (p >= window - 1) selected += hashes(dq.peekFirst())
+        p += 1
       }
+      if (n < window) selected += hashes(dq.peekFirst()) // deque front = global min
       selected.toArray
     }
   })
 
-  def fingerprint(text: Column, k: Int = 9, window: Int = 16, hashKind: String = "poly"): Column =
+  def fingerprint(text: Column, k: Int = 9, window: Int = 16, hashKind: String = "poly"): Column = {
+    require(k > 0, "k must be positive")
+    require(window > 0, "window must be positive") // window<=0 would loop forever
     fingerprintUdf(text, lit(k), lit(window), lit(hashKind))
+  }
 }

@@ -99,9 +99,20 @@ object Multimodal {
     * a column expression, and each row's GLOBAL cumulative byte position is
     * then offset + a per-partition running sum (window partitioned by the
     * input partition id — parallel, no global sort). Bucket =
-    * cumBytes / target, so every output partition holds ≤ target bytes
-    * plus at most one straddling row — max task size is bounded by
-    * `target + max(rowBytes)` regardless of skew.
+    * cumBytes / target, so every BUCKET holds ≤ target bytes plus at most
+    * one straddling row.
+    *
+    * Placement is EXACT — one bucket per output partition, so max task
+    * bytes ≤ target + max(rowBytes) regardless of skew. Two wrong-but-
+    * tempting placements: repartitionByRange samples ROWS, so under
+    * byte/row skew (many tiny rows in a few buckets, few fat rows spread
+    * over many) the row-weighted boundaries merge unboundedly many
+    * byte-heavy buckets into one partition; plain hash-on-bucket-id throws
+    * P balls into P bins (multi-bucket collisions, empty partitions).
+    * Instead each bucket id is mapped to a SALT probed (with Spark's own
+    * Murmur3 `hash`, the same function the hash exchange applies) to land
+    * in exactly that partition — the salt table is partition-count-sized,
+    * found with one tiny job, and broadcast.
     *
     * The two passes must observe the same partition layout, so the input is
     * required to be deterministic (a table scan / derived plan — true for
@@ -129,6 +140,21 @@ object Multimodal {
       .partitionBy("__pid").orderBy("__ord")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val parts = math.max(1, (total / target).toInt + (if (total % target == 0) 0 else 1))
+    // per target partition p, the smallest long whose Spark hash lands in p:
+    // pmod(hash(salt), parts) is EXACTLY the exchange's placement rule, so
+    // routing bucket b through salt(b) puts it alone in partition b. A
+    // candidate pool of 64·parts leaves E[uncovered partitions] ≈ parts·e⁻⁶⁴;
+    // the loop widens the pool in the (theoretical) uncovered case.
+    var pool = 64L * parts
+    var saltOf = Map.empty[Int, Long]
+    while (saltOf.size < parts) {
+      saltOf = media.sparkSession.range(pool)
+        .select(col("id"), pmod(hash(col("id")), lit(parts)).as("p"))
+        .groupBy("p").agg(min("id").as("s"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+      pool *= 4
+    }
+    val saltDf = saltOf.toSeq.toDF("__b", "__salt")
     sized
       .join(broadcast(offsetsDf), col("__pid") === col("__opid"), "left")
       // bucket by the cumulative bytes BEFORE this row, so a fat row starts
@@ -136,8 +162,9 @@ object Multimodal {
       .withColumn("__cum",
         coalesce(sum("__bytes").over(w), lit(0L)) + coalesce(col("__off"), lit(0L)))
       .withColumn("__bucket", (col("__cum") / target).cast("int"))
-      .repartitionByRange(parts, col("__bucket"))
-      .drop("__bytes", "__pid", "__ord", "__cum", "__bucket", "__opid", "__off")
+      .join(broadcast(saltDf), col("__bucket") === col("__b"))
+      .repartition(parts, col("__salt"))
+      .drop("__bytes", "__pid", "__ord", "__cum", "__bucket", "__opid", "__off", "__b", "__salt")
   }
 
   // --------------------------------------------------- resize / frame-sample
@@ -165,6 +192,9 @@ object Multimodal {
     */
   def resize(media: Dataset[MediaRow], targetWidth: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
+    // a non-positive target would pass the width check below and rewrite
+    // rows as width=0 with full-size content — corrupt metadata, no error
+    require(targetWidth > 0, "targetWidth must be positive")
     media.mapPartitions { rows =>
       // real pipeline: val scaler = Scaler.init(targetWidth) — once per partition
       rows.map { r =>

@@ -37,11 +37,10 @@ object Synth {
     */
   def mcPages(seeds: DataFrame): DataFrame = {
     val d = date_format(col("date"), "yyyy-MM-dd")
-    val url = concat(
-      lit("https://www.mastercard.co.uk/settlement/currencyrate/fxDate="), d,
-      lit(";transCurr="), col("trans_c"),
-      lit(";crdhldBillCurr="), col("card_c"),
-      lit(";bankFee=0.0;transAmt=1/conversion-rate"))
+    // the SAME builder expression the crawl frontier uses — the fetch step
+    // is an equi-join on url, so an independent copy here would turn any
+    // future builder tweak into a silent 100% fetch miss instead of a diff
+    val url = graft.provider.Mastercard.urlFor(col("card_c"), col("trans_c"), col("date"))
     val rate = rateFor(col("card_c"), col("trans_c"), col("date"), lit("Mastercard"))
     val okBody = concat(
       lit("""{"data": {"conversionRate": """), rate.cast("string"),
@@ -67,12 +66,8 @@ object Synth {
     * exercising the null path (VisaSpider.py:61-62).
     */
   def visaPages(seeds: DataFrame): DataFrame = {
-    val dUrl = regexp_replace(date_format(col("date"), "MM/dd/yyyy"), "/", "%2F")
-    val url = concat(
-      lit("https://www.visa.co.uk/support/consumer/travel-support/exchange-rate-calculator.html"),
-      lit("?amount=1&fee=0.0&exchangedate=None&fromCurr="), col("card_c"),
-      lit("&toCurr="), col("trans_c"),
-      lit("&submitButton=Calculate+exchange+rate&date="), dUrl)
+    // shared builder — see mcPages
+    val url = graft.provider.Visa.urlFor(col("card_c"), col("trans_c"), col("date"))
     val baseRate = rateFor(col("card_c"), col("trans_c"), col("date"), lit("Visa"))
     val big = pmod(xxhash64(col("card_c"), col("trans_c"), col("date"), lit("visa_big")), lit(7L)) === 0L
     // format_number inserts thousands separators: 1,234.567890

@@ -58,6 +58,34 @@ class MultimodalSpec extends SparkSpec {
     assert(perPart.count(_ >= maxRow) >= 2)
   }
 
+  test("repartitionByBytes: exact placement survives row/byte anti-correlation") {
+    import org.apache.spark.sql.functions._
+    // 20000 tiny rows (~all of the ROWS, a few buckets) followed by 40 fat
+    // 50 KB rows (each ~a bucket of its own): row-sampled range boundaries
+    // would merge nearly all fat buckets into one partition (~40x target);
+    // the salt-exact placement must hold every partition at target + maxRow
+    val rows = (1L to 20000L).map(i => (i, "t" * 20)) ++
+      (1L to 40L).map(i => (100000L + i, "F" * 50000))
+    val media = rows.toDF("media_id", "txt")
+      .select(col("media_id"), encode(col("txt"), "UTF-8").as("content"))
+    val target = 60000L
+    val out = Multimodal.repartitionByBytes(media, target)
+    assert(out.count() === 20040)
+    val perPart = out.select(length(col("content")).cast("long").as("b"))
+      .withColumn("p", spark_partition_id())
+      .groupBy("p").agg(sum("b").as("bytes"))
+      .collect().map(_.getAs[Long]("bytes"))
+    assert(perPart.max <= target + 50000L,
+      s"bound broken, top partitions: ${perPart.sorted.reverse.take(5).mkString(",")}")
+  }
+
+  test("resize rejects a non-positive target width") {
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.resize(Multimodal.syntheticMedia(docs), targetWidth = 0)
+    }
+    assert(e.getMessage.contains("targetWidth"))
+  }
+
   test("resize: downsamples content, updates geometry, no-ops when already small") {
     val media = Multimodal.syntheticMedia(docs)
     val src = media.collect().sortBy(_.media_id)
