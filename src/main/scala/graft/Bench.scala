@@ -30,7 +30,13 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).count()
+        // materialize through the noop sink, NOT count(): under count()
+        // Catalyst prunes every column the row count doesn't need, so a
+        // projection-only query (URL builders, simhash, quality scores…)
+        // times a near-empty scan instead of the kernel it exists to
+        // benchmark. The noop sink evaluates every output row fully and
+        // writes nothing.
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         name -> (System.nanoTime() - t0) / 1e9
       } catch {
         case e: Throwable =>
@@ -59,7 +65,9 @@ object Bench {
       (n, sec)
     }
     val all = results :+ (s"crawl_${crawlUrls}_urls" -> crawlSec)
-    val qs = all.map { case (k, v) => "\"" + k + "\":" + "%.3f".format(v) }
+    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // full JSON string escape incl. control chars — exception messages carry
     // newlines, which would break the one-line JSON contract exactly when a
@@ -78,7 +86,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
     val urlsPerSec = (crawlUrls / crawlSec).round
-    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"errors":$errJson,"crawl_urls_per_sec":$urlsPerSec,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"crawl_urls_per_sec":$urlsPerSec,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -30,23 +30,49 @@ object ScalingBench {
     val nUrls = sys.env.getOrElse("SPARK_GRAFT_BENCH_URLS", "1000000").toLong
     val nHosts = 512
     val hotPermille = sys.env.getOrElse("SPARK_GRAFT_BENCH_HOT", "100").toInt // ‰ of frontier on one hot host
+    // the run's workload fingerprint, recorded in the tsv and matched by
+    // `report`: best-of across DIFFERENT workloads (skew, politeness caps,
+    // robots gate, fault injection, storage layout) would compare
+    // incomparable runs and publish a fabricated efficiency ratio
+    val knobs = Seq(
+      "hot=" + hotPermille,
+      "maxper=" + sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXPERHOST", "200000"),
+      "roundsec=" + sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDSEC", "25000"),
+      "robots=" + sys.env.getOrElse("SPARK_GRAFT_BENCH_ROBOTS", "0"),
+      "miss=" + sys.env.getOrElse("SPARK_GRAFT_BENCH_MISS_PERMILLE", "0"),
+      "bucketed=" + sys.env.getOrElse("SPARK_GRAFT_BENCH_BUCKETED", "0")).mkString(";")
     Files.createDirectories(Paths.get("BENCH"))
     val runsFile = Paths.get("BENCH/scaling_runs.tsv")
     args.headOption match {
       case Some("report") | None =>
+        if (!Files.exists(runsFile)) {
+          System.err.println(s"[scaling] no $runsFile yet — run `ScalingBench <cpus>` first")
+          sys.exit(1)
+        }
         val lines = Files.readAllLines(runsFile)
         import scala.jdk.CollectionConverters._
         // best-of-N throughput per cpu count: the sandbox VM has visible
         // steal-time noise from co-tenants; external slowdown only ever
-        // subtracts, so max-throughput is the capability estimate
+        // subtracts, so max-throughput is the capability estimate.
+        // Pre-fingerprint 5-column rows were all recorded under the
+        // committed protocol env — grandfathered as matching.
         val rows = lines.asScala.map(_.split("\t")).map(a =>
-          (a(0).toInt, a(1).toDouble, a(2).toLong, a(3).toInt, a(4).toDouble)).toSeq
-          .filter(_._3 == nUrls) // only same-size runs are comparable
+          (a(0).toInt, a(1).toDouble, a(2).toLong, a(3).toInt, a(4).toDouble,
+            if (a.length >= 6) a(5) else "legacy")).toSeq
+          .filter(r => r._3 == nUrls && (r._6 == knobs || r._6 == "legacy"))
         val byCpu = rows.groupBy(_._1).map { case (c, rs) => c -> rs.maxBy(_._5) }
+        if (byCpu.size < 2) {
+          // min==max would compare a level against itself and print a
+          // spurious efficiency of exactly 1.000 — refuse instead
+          System.err.println(
+            s"[scaling] need runs at TWO parallelism levels for $nUrls urls with knobs [$knobs]; " +
+              s"have ${byCpu.keys.toSeq.sorted.mkString(", ")}")
+          sys.exit(1)
+        }
         val nCpu = byCpu.keys.min
         val n4Cpu = byCpu.keys.max
-        val (_, wN, _, rN, tN) = byCpu(nCpu)
-        val (_, w4, _, r4, t4) = byCpu(n4Cpu)
+        val (_, wN, _, rN, tN, _) = byCpu(nCpu)
+        val (_, w4, _, r4, t4, _) = byCpu(n4Cpu)
         val eff = (t4 / tN) / (n4Cpu.toDouble / nCpu)
         val reps = rows.groupBy(_._1).map { case (c, rs) => s"local[$c]×${rs.size}" }.mkString(", ")
         val md =
@@ -68,26 +94,33 @@ object ScalingBench {
              || run | parallelism | frontier URLs scheduled+fetched/sec | wall sec | rounds | scaling efficiency |
              ||---|---|---|---|---|---|
              || bench-N | `local[$nCpu]` | ${fmt(tN)} | ${fmt(wN)} | $rN | — |
-             || bench-4N | `local[$n4Cpu]` | ${fmt(t4)} | ${fmt(w4)} | $r4 | ${"%.3f".format(eff)} (target ≥ 0.8) |
+             || bench-4N | `local[$n4Cpu]` | ${fmt(t4)} | ${fmt(w4)} | $r4 | ${fmt3(eff)} (target ≥ 0.8) |
              |""".stripMargin
         // SCALING_REPORT.md: the mechanical best-of table; BENCH/BASELINE.md
         // is the curated round report (methodology + calibration) — never
         // clobbered by this tool
         Files.writeString(Paths.get("BENCH/SCALING_REPORT.md"), md)
         println(
-          s"""{"metric":"crawl_urls_per_sec","localN":{"cpus":$nCpu,"urls_per_sec":${tN.round}},"local4N":{"cpus":$n4Cpu,"urls_per_sec":${t4.round}},"scaling_efficiency":${"%.3f".format(eff)},"urls":$nUrls}""")
+          s"""{"metric":"crawl_urls_per_sec","localN":{"cpus":$nCpu,"urls_per_sec":${tN.round}},"local4N":{"cpus":$n4Cpu,"urls_per_sec":${t4.round}},"scaling_efficiency":${fmt3(eff)},"urls":$nUrls}""")
       case Some(cpusArg) =>
         val cpus = cpusArg.toInt
         val (wall, scheduled, rounds) = runOnce(cpus, nUrls, nHosts, hotPermille)
         val thr = scheduled / wall
         println(f"[scaling] local[$cpus]: $scheduled urls in $wall%.1f s over $rounds rounds → $thr%.0f urls/s")
+        // Locale.ROOT: the f-interpolator uses the default locale, and a
+        // comma-decimal locale would corrupt the tsv this tool later parses
         Files.writeString(runsFile,
-          f"$cpus\t$wall%.2f\t$scheduled\t$rounds\t$thr%.1f\n",
+          String.format(java.util.Locale.ROOT, "%d\t%.2f\t%d\t%d\t%.1f\t%s%n",
+            Int.box(cpus), Double.box(wall), Long.box(scheduled), Int.box(rounds),
+            Double.box(thr), knobs),
           java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     }
   }
 
-  private def fmt(d: Double): String = "%.1f".format(d)
+  private def fmt(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.1f", Double.box(d))
+  private def fmt3(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
 
   def runOnce(cpus: Int, nUrls: Long, nHosts: Int, hotPermille: Int): (Double, Long, Int) = {
     val spark = SparkSession.builder()

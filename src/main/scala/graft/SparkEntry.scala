@@ -79,11 +79,17 @@ object SparkEntry {
     val currsList = Seq("GBP", "USD", "EUR")
     val currs = Frontier.currencyDim(spark, currsList)
     val cands = Frontier.candidates(currs, TestDate, 5)
-    val seeds = Frontier.missing(
-      cands, ratesFixtureDf(spark), providersDf(spark), "Mastercard", TestDate, 5, currsList)
-    val frontier = CrawlJob.expandSeeds(seeds, "Mastercard")
-      .unionAll(CrawlJob.expandSeeds(seeds.withColumn("seq", col("seq") + 1000000L), "Visa"))
-    val pages = Synth.pages(seeds)
+    // missing is planned PER provider (client.py plans per provider): each
+    // provider's anti-join runs against ITS stored rates, so a combo
+    // already stored under Visa is not re-crawled for Visa just because
+    // Mastercard is missing it
+    def seedsFor(provider: String) = Frontier.missing(
+      cands, ratesFixtureDf(spark), providersDf(spark), provider, TestDate, 5, currsList)
+    val seedsMc = seedsFor("Mastercard")
+    val seedsVisa = seedsFor("Visa")
+    val frontier = CrawlJob.expandSeeds(seedsMc, "Mastercard")
+      .unionAll(CrawlJob.expandSeeds(seedsVisa.withColumn("seq", col("seq") + 1000000L), "Visa"))
+    val pages = Synth.mcPages(seedsMc).unionAll(Synth.visaPages(seedsVisa))
     val robots = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL("host STRING, pathPrefix STRING, allow BOOLEAN"))
@@ -330,11 +336,18 @@ object SparkEntry {
 
     "q24_embedding_neardup" -> ((s, dir) => {
       // plant 5 exact duplicate vectors; LSH buckets must recover exactly
-      // those pairs (identical vectors share every signature)
+      // those pairs (identical vectors share every signature). Planted ids
+      // live at +2^40 — disjoint from real vec_ids at ANY scale factor
+      // (a +10000 offset collides once a SF ships >10000 embeddings) —
+      // and the off-filter admits only source-with-its-own-copy pairs, so
+      // a real-real pair incidentally clearing 0.95 at some SF cannot
+      // break the golden oracle (the q27/q36 technique)
       val emb = t(s, dir, "embeddings")
+      val off = 1099511627776L // 2^40
       val planted = emb.filter(col("vec_id") < 5)
-        .select((col("vec_id") + 10000).as("vec_id"), col("embedding"), col("label"))
+        .select((col("vec_id") + off).as("vec_id"), col("embedding"), col("label"))
       graft.ann.Ann.cosineNearDupPairs(emb.unionByName(planted), threshold = 0.95)
+        .filter(col("id_b") - col("id_a") === off)
         .orderBy("id_a")
     }),
 
@@ -685,8 +698,8 @@ object SparkEntry {
 
     "q24_embedding_neardup" ->
       """SELECT id_a, id_b, cosine FROM (VALUES
-           (0, 10000, 1.0), (1, 10001, 1.0), (2, 10002, 1.0),
-           (3, 10003, 1.0), (4, 10004, 1.0))
+           (0, 1099511627776, 1.0), (1, 1099511627777, 1.0), (2, 1099511627778, 1.0),
+           (3, 1099511627779, 1.0), (4, 1099511627780, 1.0))
          t(id_a, id_b, cosine) ORDER BY id_a""",
 
     "q25_ann_lsh_self_recall" ->

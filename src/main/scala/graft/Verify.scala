@@ -14,11 +14,21 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // wipe outDir first: a query that fails BEFORE its overwrite would
+    // otherwise leave the previous run's parquet in place and the DuckDB
+    // compare would grade stale results as green
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(outDir))
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -38,5 +48,12 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // exit nonzero AFTER the oracle json is written: a broken query must
+    // fail the run (its missing parquet also fails the driver's compare),
+    // never exit-0 into a green-looking gate
+    if (failed.nonEmpty) {
+      System.err.println(s"[verify] FAILED queries: ${failed.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

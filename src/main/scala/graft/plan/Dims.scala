@@ -63,7 +63,11 @@ object Dims {
       providers: Seq[graft.provider.Provider] = graft.provider.Providers.registry): Seq[String] = {
     val p = graft.provider.Providers.byName(provider, providers)
     val nPages = pages.limit(2).count()
-    require(nPages <= 1,
+    require(nPages != 0,
+      s"availCurrencies: no dimension page row for provider $provider — an empty " +
+        "currency list would silently plan ZERO crawl work where the reference's " +
+        "fetch_avail_currs() fails loudly on a missing page")
+    require(nPages == 1,
       s"availCurrencies needs exactly one dimension page row to define page order; " +
         s"got several for provider $provider — pre-select the authoritative page")
     pages.select(posexplode(p.currencies(col("text"))).as(Seq("pos", "c")))

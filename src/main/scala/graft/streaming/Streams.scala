@@ -28,11 +28,18 @@ object Streams {
   /** Streaming frontier ingest: seed rows arriving as headerless CSV text
     * (card_c,trans_c,date dd/MM/yyyy — the reference crawl-input dialect)
     * → typed, keyed frontier rows. Input may be `spark.readStream.csv(dir)`.
+    *
+    * Malformed rows (unparsable date, missing fields — e.g. a stray header
+    * line) are DROPPED here, not passed through: a null date would build a
+    * null URL downstream and poison the micro-batch — and a failed batch is
+    * replayed from the source log forever, so one bad seed row would wedge
+    * the whole stream.
     */
   def ingestSeeds(raw: DataFrame): DataFrame = {
     raw.select(
       col("card_c"), col("trans_c"),
       to_date(col("date"), "dd/MM/yyyy").as("date"))
+      .filter(col("card_c").isNotNull && col("trans_c").isNotNull && col("date").isNotNull)
   }
 
   /** Streaming URL-seen dedup — the streaming dual of the batch dupefilter
@@ -203,7 +210,8 @@ object Streams {
       events: Dataset[FetchEvent],
       targetConcurrency: Double = 16.0,
       startDelaySec: Double = 2.0,
-      idleMs: Long = 0L): Dataset[HostSession] = {
+      idleMs: Long = 0L,
+      maxDelaySec: Double = 60.0): Dataset[HostSession] = {
     import events.sparkSession.implicits._
     val timeoutKind =
       if (idleMs > 0) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
@@ -218,11 +226,18 @@ object Streams {
           } else {
             val prior = state.getOption.getOrElse(
               HostSession(host, 0L, startDelaySec, new Timestamp(0L), closed = false))
-            val updated = batch.foldLeft(prior) { (s, e) =>
+            // fold in EVENT-TIME order, not micro-batch arrival order: the
+            // AIMD average is order-dependent, and shuffle arrival order
+            // varies run to run — identical inputs must yield identical
+            // sessions (group size = one host's events in one micro-batch,
+            // politeness-bounded, so the sort is cheap). The cap mirrors
+            // the batch dual's maxDelaySec clamp.
+            val ordered = batch.toSeq.sortBy(e => (e.ts.getTime, e.latencyMs))
+            val updated = ordered.foldLeft(prior) { (s, e) =>
               val targetDelay = (e.latencyMs / 1000.0) / targetConcurrency
               s.copy(
                 fetches = s.fetches + 1,
-                delaySec = (s.delaySec + targetDelay) / 2.0,
+                delaySec = math.min((s.delaySec + targetDelay) / 2.0, maxDelaySec),
                 lastTs = if (e.ts.after(s.lastTs)) e.ts else s.lastTs)
             }
             state.update(updated)

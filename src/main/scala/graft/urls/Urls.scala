@@ -129,6 +129,7 @@ object Urls {
     * empty path → "/".
     */
   def canonicalize(url: String): String = {
+    if (url == null) return null // null-safe: UDFs receive nulls as-is
     val (beforeFrag, _) = splitOnce(url, '#')
     val (schemeRest, scheme) = {
       val i = beforeFrag.indexOf("://")
@@ -173,6 +174,7 @@ object Urls {
     * politeness/robots key can never disagree about a dotted-FQDN URL).
     */
   def hostOf(url: String): String = {
+    if (url == null) return null // null-safe: UDFs receive nulls as-is
     val i = url.indexOf("://")
     val rest = if (i < 0) url else url.substring(i + 3)
     val end = rest.indexWhere(c => c == '/' || c == '?' || c == '#') match {
