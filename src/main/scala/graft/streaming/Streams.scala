@@ -30,15 +30,16 @@ object Streams {
     * → typed, keyed frontier rows. Input may be `spark.readStream.csv(dir)`.
     *
     * Malformed rows (unparsable date, missing fields — e.g. a stray header
-    * line) are DROPPED here, not passed through: a null date would build a
-    * null URL downstream and poison the micro-batch — and a failed batch is
+    * line) are DROPPED here, not passed through: under ANSI mode a bare
+    * to_date THROWS on bad input (and pre-ANSI, the null date became a null
+    * URL), either way poisoning the micro-batch — and a failed batch is
     * replayed from the source log forever, so one bad seed row would wedge
-    * the whole stream.
+    * the whole stream. try_to_date + the null filter quarantines them.
     */
   def ingestSeeds(raw: DataFrame): DataFrame = {
     raw.select(
       col("card_c"), col("trans_c"),
-      to_date(col("date"), "dd/MM/yyyy").as("date"))
+      try_to_date(col("date"), "dd/MM/yyyy").as("date"))
       .filter(col("card_c").isNotNull && col("trans_c").isNotNull && col("date").isNotNull)
   }
 

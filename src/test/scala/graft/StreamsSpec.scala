@@ -159,4 +159,16 @@ class StreamsSpec extends SparkSpec {
     val out = Streams.ingestSeeds(raw).as[(String, String, java.sql.Date)].head()
     assert(out === (("GBP", "USD", java.sql.Date.valueOf("1995-09-07"))))
   }
+
+  test("seed ingest drops malformed rows (a null date is a micro-batch poison pill)") {
+    // a stray header line and a wrong-dialect date must be quarantined here:
+    // downstream they become a null URL, the canonicalize UDF's input, and a
+    // failed micro-batch is replayed from the source log forever
+    val raw = Seq(
+      ("card_c", "trans_c", "date"), // header line ingested as data
+      ("GBP", "USD", "09/25/1995"),  // MM/dd/yyyy — wrong dialect, unparsable as dd/MM
+      ("GBP", "USD", "07/09/1995")).toDF("card_c", "trans_c", "date")
+    val out = Streams.ingestSeeds(raw).as[(String, String, java.sql.Date)].collect()
+    assert(out.toSeq === Seq(("GBP", "USD", java.sql.Date.valueOf("1995-09-07"))))
+  }
 }
