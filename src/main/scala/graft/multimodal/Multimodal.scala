@@ -158,10 +158,15 @@ object Multimodal {
     sized
       .join(broadcast(offsetsDf), col("__pid") === col("__opid"), "left")
       // bucket by the cumulative bytes BEFORE this row, so a fat row starts
-      // in the bucket where the previous row ended (never splits)
+      // in the bucket where the previous row ended (never splits). Clamped
+      // to parts-1: a trailing ZERO-byte row whose preceding cumulative
+      // bytes equal `total` would otherwise compute bucket == parts when
+      // total divides target exactly — a bucket with no salt row, and the
+      // inner salt join below would silently drop the row
       .withColumn("__cum",
         coalesce(sum("__bytes").over(w), lit(0L)) + coalesce(col("__off"), lit(0L)))
-      .withColumn("__bucket", (col("__cum") / target).cast("int"))
+      .withColumn("__bucket",
+        least((col("__cum") / target).cast("int"), lit(parts - 1)))
       .join(broadcast(saltDf), col("__bucket") === col("__b"))
       .repartition(parts, col("__salt"))
       .drop("__bytes", "__pid", "__ord", "__cum", "__bucket", "__opid", "__off", "__b", "__salt")

@@ -45,8 +45,12 @@ object Dims {
 
   /** The provider's available currency codes in PAGE ORDER — the dual of
     * `fetch_avail_currs()` (client.py:98-104, MCSpider.py:91-95): the
-    * reference returns a dict whose insertion order is the page's option
-    * order, and that order feeds the itertools.product seed enumeration.
+    * reference builds a dict whose insertion order is the page's option
+    * order, but `missing()` then wraps the keys in `set()` (client.py:104),
+    * so the reference's itertools.product enumeration order is
+    * SET-ITERATION order — unspecified. The missing-combo SET is order-
+    * independent either way; deterministic page order is this engine's
+    * refinement (stable across runs), not a reference-matching requirement.
     * First occurrence wins for duplicated codes. Collected to the driver —
     * a currency dimension is a few hundred rows by nature.
     *

@@ -122,6 +122,25 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("repartitionByBytes: zero-byte tail row survives when total divides target") {
+    import org.apache.spark.sql.functions._
+    // 4 × 256 B rows (total = 1024 = 2 × target) followed by a zero-byte
+    // row: its preceding cumulative bytes equal total, so the unclamped
+    // bucket would be total/target == parts — a bucket with no salt row,
+    // and the inner salt join silently dropped the row (ADVICE r03)
+    val rows = (1L to 4L).map(i => (i, Array.fill(256)('x'.toByte))) :+
+      (5L, Array.empty[Byte])
+    val media = rows.toDF("media_id", "content")
+    val out = Multimodal.repartitionByBytes(media, targetBytesPerPartition = 512)
+    assert(out.count() === 5, "zero-byte tail row must not be dropped")
+    assert(out.select("media_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(1L, 2L, 3L, 4L, 5L))
+    // null content is byte-0 too and must survive the same edge
+    val withNull = rows.toDF("media_id", "content")
+      .withColumn("content", when(col("media_id") === 5L, lit(null)).otherwise(col("content")))
+    assert(Multimodal.repartitionByBytes(withNull, 512).count() === 5)
+  }
+
   test("repartitionByBytes: empty input returns unchanged") {
     import org.apache.spark.sql.functions._
     val empty = Seq.empty[(Long, Array[Byte])].toDF("media_id", "content")

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.util.Par
+
+class ParSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("spread raises scan-shaped inputs to defaultParallelism") {
+    val p = spark.sparkContext.defaultParallelism
+    val tiny = spark.range(10).toDF("id").repartition(1)
+    // repartition is not scan-shaped; persist through a scan to model the
+    // few-splits parquet case
+    val dir = java.nio.file.Files.createTempDirectory("par-spec").toString
+    tiny.write.mode("overwrite").parquet(dir)
+    val scan = spark.read.parquet(dir)
+    assert(scan.rdd.getNumPartitions < p)
+    assert(Par.spread(scan).rdd.getNumPartitions === p)
+    // narrow wrappers (select/filter/union) keep the spread guard active —
+    // q27 passes scan UNION planted-rows and must still get kernel
+    // parallelism
+    val wrapped = scan.select(col("id")).filter(col("id") >= 0)
+      .unionByName(Seq(100L).toDF("id"))
+    assert(Par.spread(wrapped).rdd.getNumPartitions === p)
+  }
+
+  test("spread returns derived (post-shuffle) frames unchanged without probing") {
+    // an aggregated frame already runs at shuffle.partitions parallelism;
+    // with AQE on, probing it via .rdd would eagerly execute the shuffle —
+    // spread must hand it back untouched (same plan object)
+    val derived = spark.range(100).toDF("id")
+      .groupBy(pmod(col("id"), lit(7)).as("k")).agg(count(lit(1)).as("n"))
+    assert(Par.spread(derived) eq derived)
+  }
+}
