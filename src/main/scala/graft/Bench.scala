@@ -86,7 +86,18 @@ object Bench {
       .mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
     val urlsPerSec = (crawlUrls / crawlSec).round
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"crawl_urls_per_sec":$urlsPerSec,"sf":"$sfDir"}""")
+    // regression gate vs the pinned best-of baselines (flag, not fail —
+    // see QueryBaseline scaladoc for why a hard exit would be flaky here)
+    val pins = QueryBaseline.load(java.nio.file.Paths.get("BENCH/QUERY_BASELINE.json"), sfDir)
+    val regs = QueryBaseline.regressions(all, pins)
+    regs.foreach { case (n, t, p) =>
+      System.err.println(String.format(java.util.Locale.ROOT,
+        "[bench] REGRESSION: %s took %.2fs > 2x pinned %.2fs", n, Double.box(t), Double.box(p)))
+    }
+    val regJson = regs
+      .map { case (n, t, p) => "\"" + n + "\":{\"sec\":" + fmt(t) + ",\"pinned\":" + fmt(p) + "}" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"regressions":$regJson,"crawl_urls_per_sec":$urlsPerSec,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
