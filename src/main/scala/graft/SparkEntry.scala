@@ -473,6 +473,57 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "q37_dedup_clusters_multi" -> ((s, dir) => {
+      // three planted duplicate families, each connected ONLY through a
+      // different candidate generator, resolved in ONE dedupCorpusFrom
+      // closure (the composition a production dedup run needs):
+      //  - minhash family: two exact copies of doc 0 (identical text ⇒
+      //    identical signatures, found with certainty by LSH banding)
+      //  - simhash-ONLY family: doc 1's tokens REVERSED at +off+3 —
+      //    simhash is a bag-of-tokens signature (order-invariant ⇒
+      //    hamming 0, found with certainty by the chunk blocking) while
+      //    minhash's 3-token shingles are order-SENSITIVE (est_jaccard ≈ 0,
+      //    invisible to banding): only the simhash source connects it
+      //  - embedding-ONLY family: a nonsense-token doc at +off+4 (no
+      //    shared shingles, no shared token bag with anything) whose
+      //    PLANTED embedding is an exact copy of vec 2 (cosine 1.0, same
+      //    LSH bucket in every table): only the cosine source connects it
+      // Roots are real docs 0/1/2 — the global minimum ids — so no
+      // accidental real-doc member can ever change a family's min-id root
+      // (q34's invariance argument); output projects the planted ids + 0-2
+      val off = 1L << 40
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val copy0 = docs.filter(col("doc_id") === 0)
+      val copies = Seq(off + 1, off + 2).map(id =>
+        copy0.select(lit(id).as("doc_id"), col("text")))
+      val reversed1 = docs.filter(col("doc_id") === 1).select(
+        lit(off + 3).as("doc_id"),
+        array_join(reverse(filter(split(lower(trim(col("text"))), "\\s+"), x => x =!= "")), " ")
+          .as("text"))
+      // a LocalRelation (1 partition), NOT spark.range(1) (defaultParallelism
+      // near-empty partitions, which would inflate the union's partition
+      // count past Par.spread's threshold and leave the real docs' 2 scan
+      // splits unspread — measured 4.5x on the minhash kernel)
+      val nonsense = {
+        import s.implicits._
+        Seq((off + 4, (0 until 20).map(i => s"zq$i").mkString(" ")))
+          .toDF("doc_id", "text")
+      }
+      val allDocs = (copies :+ reversed1 :+ nonsense).foldLeft(docs)(_ unionByName _)
+      val plantedVec = emb.filter(col("vec_id") === 2)
+        .select(lit(off + 4).as("vec_id"), col("embedding"))
+      val allEmb = emb.unionByName(plantedVec)
+      graft.dedup.Clusters.dedupCorpusFrom(
+        allDocs,
+        Seq(
+          graft.dedup.DocDedup.minhashPairs(allDocs, threshold = 0.9),
+          graft.dedup.DocDedup.simhashPairs(allDocs, maxHamming = 3),
+          graft.ann.Ann.cosineNearDupPairs(allEmb, threshold = 0.95)))
+        .filter(col("id") < 3 || col("id") >= off)
+        .orderBy("id")
+    }),
+
     "q33_region_revenue" -> ((s, dir) => {
       // multi-way join (TPC-H Q5 shape): fact × supplier × 2 broadcast dims
       // with a selective region filter — the dims are broadcast explicitly
@@ -830,6 +881,16 @@ object SparkEntry {
            (1099511627779, 3, false), (1099511627780, 4, false),
            (2199023255552, 0, false), (2199023255553, 1, false), (2199023255554, 2, false),
            (2199023255555, 3, false), (2199023255556, 4, false))
+         t(id, cluster_id, keep) ORDER BY id""",
+
+    "q37_dedup_clusters_multi" ->
+      // golden mixed-source families: copies of doc 0 root at 0 (minhash),
+      // the token-reversed doc roots at 1 (simhash-only), the planted-
+      // embedding doc roots at 2 (cosine-only); off = 2^40
+      """SELECT id, cluster_id, keep FROM (VALUES
+           (CAST(0 AS BIGINT), CAST(0 AS BIGINT), true), (1, 1, true), (2, 2, true),
+           (1099511627777, 0, false), (1099511627778, 0, false),
+           (1099511627779, 1, false), (1099511627780, 2, false))
          t(id, cluster_id, keep) ORDER BY id""",
 
     "q33_region_revenue" ->

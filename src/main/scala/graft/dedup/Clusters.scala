@@ -94,17 +94,26 @@ object Clusters {
       val p = s"$scratch/iter-$iter"
       df.write.mode("overwrite").parquet(p)
       // previous iteration's files are no longer referenced by any plan
-      if (iter > 1) deleteRecursively(hadoopConf, s"$scratch/iter-${iter - 1}")
+      if (iter > 0) deleteRecursively(hadoopConf, s"$scratch/iter-${iter - 1}")
       spark.read.parquet(p)
     }
 
-    // canonical edge set: (min, max), no self-loops, no duplicates
-    var edges = pairs
-      .select(
-        least(col(idColA).cast("long"), col(idColB).cast("long")).as("src"),
-        greatest(col(idColA).cast("long"), col(idColB).cast("long")).as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .distinct()
+    // canonical edge set: (min, max), no self-loops, no duplicates —
+    // checkpointed BEFORE the first iteration: largeStar references its
+    // input twice (the symmetrization union), and an un-materialized pair
+    // plan would execute its candidate generators twice (lambda-heavy
+    // signature subtrees defeat exchange-reuse canonicalization, so Spark
+    // does not dedup the sides; measured ~2x on the mixed-source q37).
+    // Pair generation is the expensive stage at any scale — it must run
+    // exactly once.
+    var edges = checkpoint(
+      pairs
+        .select(
+          least(col(idColA).cast("long"), col(idColB).cast("long")).as("src"),
+          greatest(col(idColA).cast("long"), col(idColB).cast("long")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct(),
+      0)
 
     // iterate until the (canonical) edge set is stable: at the fixed point
     // every component is a star rooted at its minimum id
@@ -131,11 +140,44 @@ object Clusters {
       .distinct()
   }
 
-  /** End-to-end corpus dedup: MinHash-LSH pairs → connected components →
-    * survivor per cluster. Docs in no pair form their own singleton cluster.
+  /** Corpus dedup over ANY mix of candidate-pair sources, closed in ONE
+    * component resolution: a production dedup run feeds one closure from
+    * several generators at once (MinHash text near-dups, SimHash
+    * hamming-near signatures, embedding-cosine semantic dups — the same
+    * one-sink composition as the reference's shared pipeline,
+    * pipelines.py:41-58), because a duplicate chain may only be connected
+    * ACROSS sources: a–b textual, b–c semantic ⇒ {a,b,c} is one cluster no
+    * single generator can see.
     *
-    * @return (id, cluster_id, keep): keep=true exactly for the minimum id of
-    *         each cluster — filtering on keep yields the deduplicated corpus
+    * @param pairSources already-built pair frames, each carrying `id_a`,
+    *                    `id_b` columns (extra columns — est_jaccard,
+    *                    hamming, cosine — are ignored); ids must share the
+    *                    corpus id space
+    * @return (id, cluster_id, keep) for every doc: keep=true exactly for
+    *         the minimum id of each cluster — filtering on keep yields the
+    *         deduplicated corpus. Docs in no pair form singleton clusters.
+    */
+  def dedupCorpusFrom(
+      docs: DataFrame,
+      pairSources: Seq[DataFrame],
+      idCol: String = "doc_id"): DataFrame = {
+    require(pairSources.nonEmpty, "dedupCorpusFrom needs at least one pair source")
+    // slim (src, dst) union BEFORE the closure: resolveClusters canonicalizes
+    // direction/dups, so cross-source repeats of the same edge are free
+    val edges = pairSources
+      .map(_.select(col("id_a").cast("long").as("id_a"), col("id_b").cast("long").as("id_b")))
+      .reduce(_ unionByName _)
+    val clusters = resolveClusters(edges)
+    docs.select(col(idCol).cast("long").as("id"))
+      .join(clusters, Seq("id"), "left")
+      .select(
+        col("id"),
+        coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+      .withColumn("keep", col("id") === col("cluster_id"))
+  }
+
+  /** End-to-end corpus dedup with the default MinHash-LSH pair source —
+    * the single-generator convenience over [[dedupCorpusFrom]].
     */
   def dedupCorpus(
       docs: DataFrame,
@@ -144,18 +186,13 @@ object Clusters {
       threshold: Double = 0.9,
       numHashes: Int = 64,
       bands: Int = 16,
-      maxBucket: Int = 1000): DataFrame = {
-    val pairs = DocDedup.minhashPairs(
-      docs, idCol, textCol, numHashes = numHashes, bands = bands,
-      threshold = threshold, maxBucket = maxBucket)
-    val clusters = resolveClusters(pairs)
-    docs.select(col(idCol).cast("long").as("id"))
-      .join(clusters, Seq("id"), "left")
-      .select(
-        col("id"),
-        coalesce(col("cluster_id"), col("id")).as("cluster_id"))
-      .withColumn("keep", col("id") === col("cluster_id"))
-  }
+      maxBucket: Int = 1000): DataFrame =
+    dedupCorpusFrom(
+      docs,
+      Seq(DocDedup.minhashPairs(
+        docs, idCol, textCol, numHashes = numHashes, bands = bands,
+        threshold = threshold, maxBucket = maxBucket)),
+      idCol)
 
   private def deleteRecursively(conf: org.apache.hadoop.conf.Configuration, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)

@@ -19,6 +19,14 @@ object Par {
     * frame that already crossed a shuffle runs at
     * `spark.sql.shuffle.partitions` parallelism by construction, so it is
     * returned unchanged — no probe, no hidden double execution.
+    *
+    * Caveat (partition COUNT is the heuristic, not row distribution): a
+    * union leg that contributes many near-empty partitions — e.g.
+    * `spark.range(1)` materializes defaultParallelism partitions for one
+    * row — can push the count past the threshold while the real rows sit in
+    * a few fat scan splits. Single-row literal legs should be
+    * LocalRelations (`Seq(...).toDF`, one partition), which is also the
+    * idiomatic construction.
     */
   def spread(df: DataFrame): DataFrame = {
     if (!scanShaped(df.queryExecution.logical)) df

@@ -87,6 +87,56 @@ class ClustersSpec extends SparkSpec {
     assert(cosClusters === Map(0L -> 0L, 7L -> 0L, 9L -> 0L))
   }
 
+  test("dedupCorpusFrom: one closure over mixed sources, each family source-EXCLUSIVE") {
+    import graft.dedup.DocDedup
+    import graft.ann.Ann
+    // family M: docs 0/10/11 identical text (minhash finds; simhash too —
+    // exact dups are every text generator's overlap)
+    val same = (0 until 30).map(j => s"dup$j").mkString(" ")
+    // family S: doc 21 = doc 1's tokens REVERSED — identical token bag
+    // (simhash hamming 0) but near-disjoint 3-shingles (minhash blind)
+    val t1 = (0 until 30).map(j => s"s$j").mkString(" ")
+    val t1rev = (0 until 30).map(j => s"s$j").reverse.mkString(" ")
+    // family E: doc 32 shares NO tokens with doc 2; only its planted
+    // identical embedding connects it
+    val t2 = (0 until 30).map(j => s"e$j").mkString(" ")
+    val tNon = (0 until 30).map(j => s"zq$j").mkString(" ")
+    val docs = Seq(
+      (0L, same), (10L, same), (11L, same),
+      (1L, t1), (21L, t1rev),
+      (2L, t2), (32L, tNon)).toDF("doc_id", "text")
+    val vecs = Seq(
+      (2L, Array(0.3f, 0.9f, 0.1f, 0.5f)), (32L, Array(0.3f, 0.9f, 0.1f, 0.5f)),
+      (0L, Array(1.0f, 0f, 0f, 0f)), (1L, Array(0f, 1.0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val minhash = DocDedup.minhashPairs(docs, threshold = 0.9)
+    val simhash = DocDedup.simhashPairs(docs, maxHamming = 3)
+    val cosine = Ann.cosineNearDupPairs(vecs, threshold = 0.999)
+    // source exclusivity: minhash must NOT see the reversed pair…
+    val mh = minhash.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!mh.contains((1L, 21L)), "token reversal must defeat shingle LSH")
+    // …while simhash finds it with certainty (hamming 0)
+    val sh = simhash.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(sh.contains((1L, 21L)))
+    // no text source sees the embedding family
+    assert(!mh.contains((2L, 32L)) && !sh.contains((2L, 32L)))
+    // ONE closure over all three sources resolves all families
+    val out = Clusters.dedupCorpusFrom(docs, Seq(minhash, simhash, cosine))
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(out === Set(
+      (0L, 0L, true), (10L, 0L, false), (11L, 0L, false),
+      (1L, 1L, true), (21L, 1L, false),
+      (2L, 2L, true), (32L, 2L, false)))
+    // dropping a source disconnects exactly its family — the composition is
+    // load-bearing, not decorative
+    val noSim = Clusters.dedupCorpusFrom(docs, Seq(minhash, cosine))
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(noSim.contains((21L, 21L, true)), "without simhash the reversed doc is a singleton")
+    val noCos = Clusters.dedupCorpusFrom(docs, Seq(minhash, simhash))
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(noCos.contains((32L, 32L, true)), "without cosine the nonsense doc is a singleton")
+  }
+
   test("dedupCorpus: exact copies cluster with transitive closure; singletons keep") {
     // docs 0/100/200 identical (pairwise LSH pairs form a triangle — the
     // closure must collapse them into ONE cluster rooted at 0); 10 distinct
