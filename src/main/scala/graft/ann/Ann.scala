@@ -136,10 +136,20 @@ object Ann {
       idCol: String = "vec_id",
       trainSample: Int = 100000): Array[Array[Double]] = {
     import corpus.sparkSession.implicits._
-    val train = corpus
-      .select(xxhash64(col(idCol)).as("__h"), col("embedding").cast("array<double>").as("emb"))
+    // the global sort that picks the sample ranks SLIM (hash, id) rows —
+    // with the embedding riding the TakeOrderedAndProject, every partition
+    // would hold a top-trainSample heap of fat vectors (~trainSample × dim
+    // floats, hundreds of MB at production dims) instead of 16-byte keys;
+    // the sampled ids then pull their vectors back via a broadcast
+    // semi-join (trainSample rows — sample-sized by contract, never
+    // corpus-sized)
+    val keys = corpus
+      .select(xxhash64(col(idCol)).as("__h"), col(idCol).as("__k"))
       .orderBy("__h")
       .limit(trainSample)
+    val train = corpus
+      .join(broadcast(keys), col(idCol) === col("__k"))
+      .select(col("__h"), col("embedding").cast("array<double>").as("emb"))
       .cache()
     try {
       var cents = train.orderBy("__h").limit(nLists)
@@ -185,12 +195,65 @@ object Ann {
     } finally train.unpersist()
   }
 
+  /** Persist a trained IVF model (nLists × dim doubles — one tiny parquet)
+    * into a [[graft.checkpoint.SnapshotStore]] snapshot, atomically beside
+    * whatever tables the store already tracks. The ANN dual of the crawl's
+    * resume semantics: a production pipeline trains the coarse quantizer
+    * ONCE (a corpus-sample pass + Lloyd iterations), checkpoints it, and
+    * every later query batch loads instead of retraining. Training is fully
+    * deterministic (see [[ivfCentroids]]), so persisted ≡ retrained exactly.
+    *
+    * @return the committed snapshot version
+    */
+  def saveCentroids(
+      centroids: Array[Array[Double]],
+      store: graft.checkpoint.SnapshotStore,
+      spark: org.apache.spark.sql.SparkSession,
+      table: String = "ivf_centroids"): Int = {
+    import spark.implicits._
+    require(centroids.nonEmpty, "cannot persist an empty IVF model")
+    val v = store.currentVersion().getOrElse(0) + 1
+    val path = store.dataPath(table, v)
+    centroids.zipWithIndex.toSeq.map { case (c, l) => (l, c.toSeq) }.toDF("l", "cvec")
+      .coalesce(1) // model-sized by construction — one file, not 32 shards
+      .write.mode("overwrite").parquet(path)
+    // carry the prior snapshot's other tables forward: the model commits
+    // ATOMICALLY beside them, same multi-table snapshot semantics as the
+    // crawl round commit
+    val prior = store.readCurrent().map(_._2).getOrElse(Map.empty)
+    store.commit(v, prior + (table -> path))
+    v
+  }
+
+  /** Load the persisted IVF model from the store's CURRENT snapshot.
+    * Fails loudly when the snapshot has no model table — silently
+    * retraining on a missing model would hide a checkpoint wiring bug.
+    */
+  def loadCentroids(
+      store: graft.checkpoint.SnapshotStore,
+      spark: org.apache.spark.sql.SparkSession,
+      table: String = "ivf_centroids"): Array[Array[Double]] = {
+    val (v, tables) = store.readCurrent().getOrElse(
+      throw new IllegalStateException("no committed snapshot to load an IVF model from"))
+    val path = tables.getOrElse(table,
+      throw new IllegalStateException(s"snapshot v$v has no '$table' table"))
+    val rows = spark.read.parquet(path)
+      .select(col("l"), col("cvec")).collect()
+    require(rows.nonEmpty, s"persisted IVF model at $path is empty")
+    rows.sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+  }
+
   /** IVF approximate top-k — the inverted-file scale path: corpus vectors
     * live in their nearest-centroid list; a query scores ONLY the `nProbe`
     * nearest lists (nProbe/nLists of the corpus on average) instead of
     * everything. Recall/cost dial = (nLists, nProbe); nProbe = nLists is
     * exact brute force. Same output contract as [[lshTopK]] /
     * [[bruteForceTopK]].
+    *
+    * Production path: train once, [[saveCentroids]] into the pipeline's
+    * SnapshotStore, and pass `centroids = Some(loadCentroids(...))` here —
+    * retraining per call repeats the corpus-sample pass + Lloyd iterations
+    * for no reason. The `None` default trains ad hoc (tests, one-shots).
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nLists: Int = 16, nProbe: Int = 4, iters: Int = 5,

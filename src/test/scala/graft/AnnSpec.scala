@@ -104,6 +104,36 @@ class AnnSpec extends SparkSpec {
     assert(got.count() >= 1)
   }
 
+  test("ivf model persistence: persisted centroids == retrained, atomic beside other tables") {
+    import graft.checkpoint.SnapshotStore
+    val store = new SnapshotStore(
+      java.nio.file.Files.createTempDirectory("ann-store").toString)
+    // a prior snapshot with an unrelated table — the model must commit
+    // BESIDE it, not clobber the snapshot's other state
+    store.commit(1, Map("rates" -> "/data/rates/v1"))
+    val trained = Ann.ivfCentroids(corpus, nLists = 4)
+    val v = Ann.saveCentroids(trained, store, spark)
+    assert(v === 2)
+    val loaded = Ann.loadCentroids(store, spark)
+    // determinism makes the round-trip EXACT (bit-for-bit), so persisted
+    // and retrained models are interchangeable
+    assert(loaded.map(_.toSeq).toSeq === trained.map(_.toSeq).toSeq)
+    assert(store.readManifest(2).get("rates").contains("/data/rates/v1"))
+    // the production search path: load instead of retrain — identical
+    // results to the ad-hoc-trained call
+    val viaLoaded = Ann.ivfTopK(queries, corpus, k = 5, nLists = 4, nProbe = 4,
+      centroids = Some(loaded)).as[(Long, Long, Double, Int)].collect().toSet
+    val viaTrained = Ann.ivfTopK(queries, corpus, k = 5, nLists = 4, nProbe = 4)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(viaLoaded === viaTrained)
+    // missing model fails loudly, never silently retrains
+    val empty = new SnapshotStore(
+      java.nio.file.Files.createTempDirectory("ann-store-empty").toString)
+    intercept[IllegalStateException] { Ann.loadCentroids(empty, spark) }
+    empty.commit(1, Map("other" -> "/x"))
+    intercept[IllegalStateException] { Ann.loadCentroids(empty, spark) }
+  }
+
   test("vector primitives: dot/norm/cosine column math") {
     val df = Seq((Array(3.0f, 4.0f), Array(4.0f, 3.0f))).toDF("a", "b")
     val (d, na, c) = df.select(
