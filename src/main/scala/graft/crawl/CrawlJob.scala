@@ -169,8 +169,12 @@ object CrawlJob {
       //    (first round) ⇒ skip the whole dedup subtree.
       //    Retry rows (retries > 0) BYPASS the dupefilter — Scrapy re-enqueues
       //    retries with dont_filter semantics, and they are in `seen` already.
+      // nothing seen yet ⇒ `fresh` IS the frontier frame, which the
+      // fresh-run path above already cached — re-caching the same plan is a
+      // no-op that logs a CacheManager warning; only the computed dedup
+      // output is a new frame needing its own cache
       val fresh =
-        (if (seenPaths.isEmpty) frontier
+        if (seenPaths.isEmpty) frontier
         else {
           val firstTry = frontier.filter(col("retries") === 0)
           val retries = frontier.filter(col("retries") > 0)
@@ -182,7 +186,8 @@ object CrawlJob {
           UrlSeen.filterNewPartitionedBloom(firstTry, seenDf, bloomDir, bloomParts,
             smallProbe = frontierCount <= 2000000L)
             .unionByName(retries)
-        }).cache()
+            .cache()
+        }
       // 2. offsite filter (allowed_domains) then robots gate; cached — the
       //    surviving frontier feeds both the scheduler and the next-round
       //    frontier anti-join. Offsite runs first, as in Scrapy: the spider

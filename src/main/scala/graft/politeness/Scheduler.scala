@@ -98,13 +98,18 @@ object Scheduler {
         .withColumn("__grn1", row_number().over(gw1))
         .filter(col("__grn1") <= cfg.maxGlobal)
         .drop("__grn1", "__gsalt")
-      // deliberately unpartitioned: stage 1 pre-pruned the input to
+      // single-partition by CONSTRUCTION: stage 1 pre-pruned the input to
       // ≤ Salts·maxGlobal rows (a politeness CONSTANT — e.g. 16·50 = 800 —
-      // never a data-sized value), so the single-task sort is bounded by
-      // construction. Spark still logs "No Partition Defined for Window
-      // operation" here every crawl round — that warning is expected and
-      // refers to THIS bounded window, not to a data-sized one.
-      val gw2 = Window.orderBy(col("priority").desc, col("seq"))
+      // never a data-sized value), so the one-task sort is bounded.
+      // Partitioning by a CONSTANT key gives the identical plan (one hash
+      // partition) without tripping WindowExec's "No Partition Defined"
+      // warning — dozens of which per bench run were masking the day a
+      // genuinely unbounded global window sneaks in. The key must be
+      // NON-FOLDABLE (pmod over a real column, not lit(0)): constant
+      // folding strips a literal partition spec right back to the
+      // unpartitioned warning case.
+      val gw2 = Window.partitionBy(pmod(col("seq"), lit(1)))
+        .orderBy(col("priority").desc, col("seq"))
       gPruned
         .withColumn("__grn2", row_number().over(gw2))
         .filter(col("__grn2") <= cfg.maxGlobal)
