@@ -49,7 +49,10 @@ object CrawlJob {
       .withColumn("provider", lit(provider))
       .withColumn("priority", lit(0))
       .withColumn("retries", lit(0))
-      .select("url", "canonUrl", "urlHash", "host", "card_c", "trans_c", "date", "provider", "priority", "seq", "retries")
+      // request headers ride the row — the typed-column dual of Scrapy's
+      // Request(headers=...) (MCSpider.py:67-68); no out-of-band meta
+      .withColumn("headers", p.headersFor(col("card_c"), col("trans_c"), col("date")))
+      .select("url", "canonUrl", "urlHash", "host", "card_c", "trans_c", "date", "provider", "priority", "seq", "retries", "headers")
   }
 
   /** Run (or resume) a crawl.
@@ -224,16 +227,23 @@ object CrawlJob {
       // 5. extract per provider in ONE pass over the page text; MC error
       //    pages are dropped (not stored), Visa parse misses store a null
       //    rate (reference parity). The text column is gone after this.
+      //    `headers` is OPTIONAL on frontier rows (expandSeeds emits it;
+      //    direct frontier builders like the bench workload need not) —
+      //    when present it must survive extraction so retry rows re-enter
+      //    the frontier with their request headers intact.
+      val carryCols =
+        Seq("url", "canonUrl", "urlHash", "host", "card_c", "trans_c", "date",
+          "provider", "priority", "seq", "retries") ++
+          (if (frontier.columns.contains("headers")) Seq("headers") else Nil)
       val extracted = fetched.select(
-        col("url"), col("canonUrl"), col("urlHash"), col("host"), col("card_c"), col("trans_c"), col("date"),
-        col("provider"), col("priority"), col("seq"), col("retries"),
-        providerId.as("provider_id"),
-        col("text").isNotNull.as("hit"),
-        (col("text").isNotNull && coalesce(
-          graft.provider.Providers.route(col("provider"), providers)(_.isError(col("text"))),
-          lit(false))).as("is_err"),
-        graft.provider.Providers.route(col("provider"), providers)(_.extractRate(col("text")))
-          .as("rate"))
+        carryCols.map(col) ++ Seq(
+          providerId.as("provider_id"),
+          col("text").isNotNull.as("hit"),
+          (col("text").isNotNull && coalesce(
+            graft.provider.Providers.route(col("provider"), providers)(_.isError(col("text"))),
+            lit(false))).as("is_err"),
+          graft.provider.Providers.route(col("provider"), providers)(_.extractRate(col("text")))
+            .as("rate")): _*)
         .cache()
       extracted.count() // one streaming pass fills the (slim) cache
 
@@ -264,11 +274,11 @@ object CrawlJob {
       val seenDelta = sched.select(col("urlHash"), col("canonUrl").as("url"), lit(round).as("round"))
       val retryRows = extracted
         .filter(!col("hit") && col("retries") < maxRetries)
-        .select(
-          col("url"), col("canonUrl"), col("urlHash"), col("host"), col("card_c"), col("trans_c"),
-          col("date"), col("provider"),
-          (col("priority") - 1).as("priority"), col("seq"),
-          (col("retries") + 1).as("retries"))
+        .select(carryCols.map {
+          case "priority" => (col("priority") - 1).as("priority")
+          case "retries" => (col("retries") + 1).as("retries")
+          case c => col(c)
+        }: _*)
       val frontier1 = allowedF
         .join(sched.select("urlHash", "canonUrl"), Seq("urlHash", "canonUrl"), "left_anti")
         .unionByName(retryRows)

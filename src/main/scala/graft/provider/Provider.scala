@@ -42,6 +42,17 @@ trait Provider extends Serializable {
     * array<struct<alpha_code, name>> (SURVEY.md §2 #5-6).
     */
   def currencies(text: Column): Column
+
+  /** Request headers for a seed row, as a map<string,string> column carried
+    * on the frontier (the dual of scrapy.Request(headers=...) — reference
+    * MCSpider.py:67-68 sends `{'referer': support_url}`). The offline
+    * fetch-join doesn't consume them, but a provider whose extraction or
+    * downstream bookkeeping depends on request headers can now express
+    * them, and a live downloader would read them off the row. Default: no
+    * headers (the Visa spider sends none, VisaSpider.py:52).
+    */
+  def headersFor(cardC: Column, transC: Column, date: Column): Column =
+    map().cast("map<string,string>")
 }
 
 /** Mastercard (reference MCSpider.py): matrix-param URL, JSON body. */
@@ -61,6 +72,13 @@ object Mastercard extends Provider {
   override def isError(text: Column): Column = Extractors.mcIsError(text)
 
   def currencies(text: Column): Column = Extractors.mcCurrencies(text)
+
+  /** `headers={'referer': support_url}` on every rate request
+    * (MCSpider.py:25,67-68).
+    */
+  override def headersFor(cardC: Column, transC: Column, date: Column): Column =
+    map(lit("referer"),
+      lit("https://www.mastercard.co.uk/en-gb/consumers/get-support/convert-currency.html"))
 }
 
 /** Visa (reference VisaSpider.py): urlencoded URL incl. the

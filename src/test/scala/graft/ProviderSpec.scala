@@ -89,6 +89,33 @@ class ProviderSpec extends SparkSpec {
     }
   }
 
+  test("request headers ride the frontier row: MC referer parity, Visa none") {
+    // MCSpider.py:25,67-68: headers={'referer': support_url} on every request
+    val mcHeaders = CrawlJob.expandSeeds(seeds, "Mastercard")
+      .select(col("headers")).as[Map[String, String]].collect()
+    assert(mcHeaders.length === 3)
+    mcHeaders.foreach(h => assert(h === Map(
+      "referer" -> "https://www.mastercard.co.uk/en-gb/consumers/get-support/convert-currency.html")))
+    // the Visa spider sends no headers (VisaSpider.py:52)
+    val visaHeaders = CrawlJob.expandSeeds(seeds, "Visa")
+      .select(col("headers")).as[Map[String, String]].collect()
+    visaHeaders.foreach(h => assert(h === Map.empty[String, String]))
+    // a provider override flows through; the column survives a retry round
+    // trip (carryCols includes it whenever the frontier carries it)
+    object Headed extends Provider {
+      val name = "Headed"
+      def urlFor(c: Column, t: Column, d: Column): Column = lit("https://h.example/x")
+      def extractRate(text: Column): Column = lit(1.0)
+      def currencies(text: Column): Column =
+        transform(split(text, ","), c => struct(c.as("alpha_code"), c.as("name")))
+      override def headersFor(c: Column, t: Column, d: Column): Column =
+        map(lit("x-card"), c)
+    }
+    val hh = CrawlJob.expandSeeds(seeds.limit(1), "Headed", Providers.registry :+ Headed)
+      .select(col("headers")).as[Map[String, String]].head()
+    assert(hh === Map("x-card" -> "GBP"))
+  }
+
   test("currenciesFromPage routes through the registry for custom providers") {
     val pages = Seq("AAA,BBB,AAA").toDF("text")
     val out = graft.plan.Dims.currenciesFromPage(pages, "Toy", registry3)
