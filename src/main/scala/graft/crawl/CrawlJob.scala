@@ -39,12 +39,13 @@ object CrawlJob {
   def expandSeeds(
       seeds: DataFrame,
       provider: String,
-      providers: Seq[graft.provider.Provider] = graft.provider.Providers.registry): DataFrame = {
+      providers: Seq[graft.provider.Provider] = graft.provider.Providers.registry,
+      dedupKey: graft.urls.DedupKey = graft.urls.DedupKey.XxHashCanonical): DataFrame = {
     val p = graft.provider.Providers.byName(provider, providers)
     seeds
       .withColumn("url", p.urlFor(col("card_c"), col("trans_c"), col("date")))
       .withColumn("canonUrl", canonicalUdf(col("url"))) // computed ONCE, carried as data
-      .withColumn("urlHash", xxhash64(col("canonUrl")))
+      .withColumn("urlHash", graft.urls.UrlCols.urlHashCol(col("url"), col("canonUrl"), dedupKey))
       .withColumn("host", hostCol(col("url")))
       .withColumn("provider", lit(provider))
       .withColumn("priority", lit(0))

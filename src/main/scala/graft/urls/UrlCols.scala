@@ -14,6 +14,16 @@ object UrlCols {
 
   val hostOfUdf = udf((u: String) => Urls.hostOf(u))
 
+  val scrapyFingerprintUdf = udf((u: String) => Urls.scrapyFingerprint(u))
+
+  /** 64-bit dedup key for a (url, canonicalized-url) pair under a
+    * [[DedupKey]] mode — the single derivation every frontier builder uses.
+    */
+  def urlHashCol(url: Column, canonUrl: Column, mode: DedupKey): Column = mode match {
+    case DedupKey.XxHashCanonical => xxhash64(canonUrl)
+    case DedupKey.ScrapySha1 => xxhash64(scrapyFingerprintUdf(url))
+  }
+
   /** Host column — built-in `parse_url` (codegen-friendly) with a
     * [[Urls.hostOf]] UDF fallback: `parse_url` follows java.net.URI and
     * returns NULL for hosts URI rejects (e.g. underscores, common in the
@@ -29,4 +39,23 @@ object UrlCols {
     coalesce(
       regexp_replace(lower(parse_url(url, lit("HOST"))), "\\.$", ""),
       hostOfUdf(url))
+}
+
+/** How the URL-seen set derives its 64-bit key (SURVEY.md §2 #24).
+  *
+  * Dedup DECISIONS are identical under both modes — each key is injective
+  * in the canonical URL for this GET-only crawl, and the seen set's exact
+  * anti-join confirms on the canonical URL itself either way. What the
+  * Scrapy mode buys is BIT-parity of the key derivation with the
+  * reference's dupefilter: the 64-bit key becomes xxhash64 of the exact
+  * Scrapy 1.8 SHA1 fingerprint ([[Urls.scrapyFingerprint]], golden-tested),
+  * so any system comparing fingerprints against a real Scrapy run agrees
+  * byte-for-byte on what was fingerprinted.
+  */
+sealed trait DedupKey extends Serializable
+object DedupKey {
+  /** Engine default: xxhash64(canonical_url) — 8 bytes, no SHA1/UDF cost. */
+  case object XxHashCanonical extends DedupKey
+  /** Scrapy 1.8 bit-parity: xxhash64(sha1("GET" ++ canonical_url)). */
+  case object ScrapySha1 extends DedupKey
 }

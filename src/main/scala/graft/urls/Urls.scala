@@ -169,6 +169,33 @@ object Urls {
     s"$scheme://$userinfo$canonHost$canonPort$canonPath$canonQuery"
   }
 
+  /** Scrapy 1.8 `request_fingerprint`, bit-for-bit (scrapy/utils/request.py
+    * in the 1.8 line, the dupefilter key the reference runs under —
+    * Pipfile.lock:271): `sha1(method ++ canonicalize_url(url) ++ body)`
+    * hex digest, with no headers in the default hash. [[canonicalize]] is
+    * this engine's w3lib-parity canonicalization (separately unit-tested),
+    * so for the reference's GET-only, body-less requests the fingerprint is
+    * `sha1("GET" + canonical_url)`.
+    *
+    * This is the BIT-PARITY dupefilter mode: the engine's default key is
+    * xxhash64(canonical_url) — semantically equivalent for a GET-only crawl
+    * (both are injective in the canonical URL) and 8 bytes instead of a
+    * 40-char hex string. Pass `DedupKey.ScrapySha1` to
+    * [[graft.crawl.CrawlJob.expandSeeds]] to key the seen set by this
+    * fingerprint instead.
+    */
+  def scrapyFingerprint(
+      url: String,
+      method: String = "GET",
+      body: Array[Byte] = Array.emptyByteArray): String = {
+    if (url == null) return null // null-safe: UDFs receive nulls as-is
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    md.update(method.getBytes("UTF-8"))
+    md.update(canonicalize(url).getBytes("UTF-8"))
+    md.update(body)
+    md.digest().map(b => f"$b%02x").mkString
+  }
+
   /** Host of a URL (lowercased, no port, trailing dot stripped — the SAME
     * normalization [[canonicalize]] applies, so the dedup key and the
     * politeness/robots key can never disagree about a dotted-FQDN URL).
