@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import java.nio.file.{Files, Paths}
+
+/** Scaling-efficiency evidence for the DOC-DEDUP path (VERDICT r03 #3): the
+  * crawl pipeline has N-vs-4N cells; this gives the dedup suite its own —
+  * `minhashPairs` → `dedupCorpus` closure over a ≥1M-doc synthetic corpus
+  * with planted duplicate families, run at two parallelism levels on the
+  * same input, plus weak-scaling and duplicate-density points.
+  *
+  * Protocol identical to [[ScalingBench]]: one fresh JVM per measurement
+  * (`runMain graft.DedupScalingBench <cpus>` appends to
+  * BENCH/dedup_scaling_runs.tsv), `report` combines best-of per level —
+  * this VM's 2-4x co-tenant steal noise makes single runs meaningless.
+  */
+object DedupScalingBench {
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "1000000").toLong
+    val dupPermille = sys.env.getOrElse("SPARK_GRAFT_BENCH_DUP_PERMILLE", "100").toInt
+    val knobs = s"docs=$nDocs;dup=$dupPermille"
+    Files.createDirectories(Paths.get("BENCH"))
+    val runsFile = Paths.get("BENCH/dedup_scaling_runs.tsv")
+    args.headOption match {
+      case Some("report") | None =>
+        if (!Files.exists(runsFile)) {
+          System.err.println(s"[dedup-scaling] no $runsFile yet — run `DedupScalingBench <cpus>` first")
+          sys.exit(1)
+        }
+        import scala.jdk.CollectionConverters._
+        // best-of per cpu count, same-workload rows only (knob fingerprint)
+        val rows = Files.readAllLines(runsFile).asScala.map(_.split("\t"))
+          .map(a => (a(0).toInt, a(1).toDouble, a(2).toLong, a(3).toDouble, a(4)))
+          .toSeq.filter(r => r._3 == nDocs && r._5 == knobs)
+        val byCpu = rows.groupBy(_._1).map { case (c, rs) => c -> rs.maxBy(_._4) }
+        if (byCpu.size < 2) {
+          System.err.println(
+            s"[dedup-scaling] need runs at TWO parallelism levels for knobs [$knobs]; " +
+              s"have ${byCpu.keys.toSeq.sorted.mkString(", ")}")
+          sys.exit(1)
+        }
+        val nCpu = byCpu.keys.min
+        val n4Cpu = byCpu.keys.max
+        val (_, wN, _, tN, _) = byCpu(nCpu)
+        val (_, w4, _, t4, _) = byCpu(n4Cpu)
+        val eff = (t4 / tN) / (n4Cpu.toDouble / nCpu)
+        def fmt(d: Double) = String.format(java.util.Locale.ROOT, "%.1f", Double.box(d))
+        def fmt3(d: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+        val reps = rows.groupBy(_._1).map { case (c, rs) => s"local[$c]×${rs.size}" }.mkString(", ")
+        val md =
+          s"""# BENCH — doc-dedup throughput + scaling efficiency
+             |
+             |Workload: $nDocs synthetic 40-token docs, ${dupPermille / 10.0}% in planted
+             |exact-duplicate families of 3; full corpus dedup = MinHash-LSH candidate
+             |pairs (64 hashes / 16 bands, slim bucket stream, capped buckets) →
+             |large-star/small-star connected components → min-id survivor verdicts.
+             |Same deterministic input at both levels; one fresh JVM per run;
+             |best-of per level ($reps) under the committed steal-noise protocol.
+             |
+             || run | parallelism | docs deduped/sec | wall sec | scaling efficiency |
+             ||---|---|---|---|---|
+             || dedup-N | `local[$nCpu]` | ${fmt(tN)} | ${fmt(wN)} | — |
+             || dedup-4N | `local[$n4Cpu]` | ${fmt(t4)} | ${fmt(w4)} | ${fmt3(eff)} (target ≥ 0.8) |
+             |""".stripMargin
+        Files.writeString(Paths.get("BENCH/DEDUP_SCALING_REPORT.md"), md)
+        println(
+          s"""{"metric":"dedup_docs_per_sec","localN":{"cpus":$nCpu,"docs_per_sec":${tN.round}},"local4N":{"cpus":$n4Cpu,"docs_per_sec":${t4.round}},"scaling_efficiency":${fmt3(eff)},"docs":$nDocs,"dup_permille":$dupPermille}""")
+      case Some(cpusArg) =>
+        val cpus = cpusArg.toInt
+        val (wall, survivors) = runOnce(cpus, nDocs, dupPermille)
+        val thr = nDocs / wall
+        println(f"[dedup-scaling] local[$cpus]: $nDocs docs in $wall%.1f s → $thr%.0f docs/s ($survivors survivors)")
+        Files.writeString(runsFile,
+          String.format(java.util.Locale.ROOT, "%d\t%.2f\t%d\t%.1f\t%s\t%d%n",
+            Int.box(cpus), Double.box(wall), Long.box(nDocs), Double.box(thr), knobs,
+            Long.box(survivors)),
+          java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    }
+  }
+
+  def runOnce(cpus: Int, nDocs: Long, dupPermille: Int): (Double, Long) = {
+    val tmp = sys.env.getOrElse("SPARK_GRAFT_BENCH_TMPDIR", "/tmp")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-dedup-scaling-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      .config("spark.local.dir", tmp)
+      .config("spark.sql.warehouse.dir", s"$tmp/warehouse-dedup-$cpus")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // optional stage profile (SPARK_GRAFT_PROFILE=1): top stages by duration
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Int, Long, Long)]()
+    if (sys.env.contains("SPARK_GRAFT_PROFILE")) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = sc.stageInfo
+          val wall = (for {s <- i.submissionTime; c <- i.completionTime} yield c - s).getOrElse(0L)
+          val m = i.taskMetrics
+          stages.add((i.stageId,
+            i.name.takeWhile(_ != '\n').take(40) +
+              f" gc=${m.jvmGCTime / 1000.0}%.1fs spill=${m.memoryBytesSpilled / 1e6}%.0fMB",
+            i.numTasks, wall, m.executorRunTime))
+        }
+      })
+    }
+    try {
+      // materialize the corpus to parquet OUTSIDE the timed window (at
+      // production scale the corpus is a stored table; timing its synthesis
+      // would time spark.range, not dedup) — keyed by workload so reps
+      // reuse it. Written at a FIXED partition count: the natural count
+      // would be the generating JVM's cores, so whichever level ran first
+      // would pin the file layout for every later level (measured: a
+      // 4-file corpus cost the local[16] run ~35% wall vs the same corpus
+      // in 16 files) — the N and 4N cells must read the IDENTICAL layout
+      // to be comparable
+      val docsPath = s"$tmp/graft-dedup-docs-$nDocs-$dupPermille"
+      if (!Files.exists(Paths.get(docsPath, "_SUCCESS")))
+        synth.BenchWorkload.docs(spark, nDocs, dupPermille)
+          .repartition(32)
+          .write.mode("overwrite").parquet(docsPath)
+      val docs = spark.read.parquet(docsPath)
+      val t0 = System.nanoTime()
+      val survivors = graft.dedup.Clusters.dedupCorpus(
+        docs, threshold = 0.9, maxBucket = 1000)
+        .filter(org.apache.spark.sql.functions.col("keep"))
+        .count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      if (sys.env.contains("SPARK_GRAFT_PROFILE")) {
+        import scala.jdk.CollectionConverters._
+        val top = stages.asScala.toSeq.sortBy(-_._4).take(15)
+        top.foreach { case (id, name, nt, w, run) =>
+          println(f"[profile $cpus] stage $id%4d $name%-60s tasks=$nt%4d wall=${w / 1000.0}%7.1fs taskTime=${run / 1000.0}%8.1fs")
+        }
+      }
+      (wall, survivors)
+    } finally {
+      spark.stop()
+    }
+  }
+}

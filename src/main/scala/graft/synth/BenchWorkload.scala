@@ -36,6 +36,28 @@ object BenchWorkload {
       .select("url", "canonUrl", "urlHash", "host", "card_c", "trans_c", "date", "provider", "priority", "seq", "retries")
   }
 
+  /** Synthetic document corpus for the dedup scaling bench: `nDocs` docs of
+    * 40 hashed tokens each, with `dupPermille`/1000 of the corpus belonging
+    * to planted EXACT-duplicate families of 3 (consecutive id triples share
+    * one text) — the families are what minhash banding must pair and the
+    * component resolution must collapse. Non-family docs draw tokens from
+    * their own id, so no cross pairs exist; every stage's work (shingle →
+    * signature → band explode → bucket join → closure) scales in nDocs
+    * while the pair/cluster volume scales in dupPermille. Pure column
+    * expressions over spark.range — distributed, bit-deterministic at any
+    * scale.
+    */
+  def docs(spark: SparkSession, nDocs: Long, dupPermille: Int): DataFrame = {
+    val ids = spark.range(nDocs).toDF("doc_id")
+    val famBase = (col("doc_id") - pmod(col("doc_id"), lit(3L)))
+    val isDup = pmod(xxhash64(famBase, lit("dupfam")), lit(1000L)) < dupPermille
+    val seed = when(isDup, famBase).otherwise(col("doc_id"))
+    ids
+      .withColumn("text",
+        concat_ws(" ", transform(sequence(lit(0), lit(39)),
+          j => concat(lit("w"), pmod(xxhash64(seed, j, lit("tok")), lit(100000L))))))
+  }
+
   /** MC-JSON pages for every frontier URL (same body shape the extractor
     * consumes; ~2% deterministic error pages).
     *

@@ -9,6 +9,26 @@ import graft.dedup.DocDedup
 class DocDedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("dedup bench corpus: planted triple families, deterministic, minhash-discoverable") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.synth.BenchWorkload.docs(spark, nDocs = 3000, dupPermille = 200)
+    assert(docs.count() === 3000)
+    // deterministic: same args → identical bytes
+    val again = graft.synth.BenchWorkload.docs(spark, 3000, 200)
+    assert(docs.exceptAll(again).isEmpty && again.exceptAll(docs).isEmpty)
+    // family triples share one text; everything else is unique
+    val grouped = docs.groupBy("text").count().groupBy("count").count()
+      .as[(Long, Long)].collect().toMap
+    assert(grouped.keySet === Set(1L, 3L), s"got group sizes ${grouped.keySet}")
+    val famDocs = grouped(3L) * 3
+    // ~20% of triples are families (binomial around 200/1000 of 1000 triples)
+    assert(famDocs > 400 && famDocs < 800, s"family docs: $famDocs")
+    // the full pipeline collapses exactly the families
+    val survivors = graft.dedup.Clusters.dedupCorpus(docs, threshold = 0.9)
+      .filter(col("keep")).count()
+    assert(survivors === 3000 - famDocs + famDocs / 3)
+  }
+
   /** 20 genuinely-distinct docs (disjoint vocabularies) + near-dup of #0
     * (one word changed) + exact dup of #1.
     */
