@@ -74,9 +74,10 @@ object Streams {
 
   // ------------------------------------------------- streaming crawl slice
 
-  /** End-to-end streaming slice (VERDICT r02 #6): seed CSV shards arriving
-    * in a directory → [[ingestSeeds]] → per-micro-batch crawl round
-    * committed to a [[graft.checkpoint.SnapshotStore]] via `foreachBatch`.
+  /** End-to-end streaming slice (VERDICT r02 #6; politeness/robots/retry
+    * added round 4): seed CSV shards arriving in a directory →
+    * [[ingestSeeds]] → per-micro-batch crawl round committed to a
+    * [[graft.checkpoint.SnapshotStore]] via `foreachBatch`.
     *
     * Exactly-once composition: Structured Streaming's checkpoint makes
     * batch ids stable across restarts, and every manifest commit records
@@ -85,6 +86,14 @@ object Streams {
     * skipped, so a kill-and-resume run is bit-equivalent to an
     * uninterrupted one (StreamsSpec proves seen/rates ≡ the batch crawl of
     * the same seeds).
+    *
+    * The full batch-loop round runs inside each micro-batch: robots gate,
+    * salted per-host politeness schedule (AIMD host delays carried in the
+    * store across batches), retry on fetch miss. Rows a batch cannot
+    * schedule under its politeness budget — and retry rows — persist to a
+    * `backlog` snapshot table and re-enter on the NEXT micro-batch, the
+    * streaming analogue of the frontier surviving a batch round. Defaults
+    * (no robots rules, unbounded budget) drain every batch fully.
     */
   def crawlStream(
       spark: org.apache.spark.sql.SparkSession,
@@ -93,7 +102,12 @@ object Streams {
       streamCheckpointDir: String,
       storeDir: String,
       provider: String = "Mastercard",
-      providers: Seq[graft.provider.Provider] = graft.provider.Providers.registry)
+      providers: Seq[graft.provider.Provider] = graft.provider.Providers.registry,
+      robots: Option[DataFrame] = None,
+      cfg: graft.model.PolitenessConfig = graft.model.PolitenessConfig(
+        maxGlobal = Int.MaxValue, maxPerHost = Int.MaxValue),
+      roundSec: Double = 1e9,
+      maxRetries: Int = 2)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val raw = spark.readStream
       .schema("card_c STRING, trans_c STRING, date STRING")
@@ -101,15 +115,19 @@ object Streams {
     ingestSeeds(raw).writeStream
       .option("checkpointLocation", streamCheckpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        processSeedBatch(batch.toDF, batchId, pages, storeDir, provider, providers)
+        processSeedBatch(batch.toDF, batchId, pages, storeDir, provider, providers,
+          robots, cfg, roundSec, maxRetries)
       }
       .start()
   }
 
-  /** One micro-batch = one crawl round: expand → dedup (within batch + vs
-    * the store's seen set) → fetch-join → extract → set-difference rates
-    * append → ONE atomic manifest commit carrying the batch id. Idempotent
-    * per batch id (the exactly-once half the stream checkpoint can't give).
+  /** One micro-batch = one crawl round: (backlog ∪ expanded seeds) → dedup
+    * (within batch + vs the store's seen set; retries bypass, as in the
+    * batch loop) → robots gate → per-host politeness schedule →
+    * fetch-join → extract → set-difference rates append → ONE atomic
+    * manifest commit carrying the batch id, the new backlog (deferred +
+    * retry rows) and the AIMD host states. Idempotent per batch id (the
+    * exactly-once half the stream checkpoint can't give).
     */
   private[graft] def processSeedBatch(
       batch: DataFrame,
@@ -117,9 +135,15 @@ object Streams {
       pages: DataFrame,
       storeDir: String,
       provider: String,
-      providers: Seq[graft.provider.Provider]): Unit = {
+      providers: Seq[graft.provider.Provider],
+      robots: Option[DataFrame] = None,
+      cfg: graft.model.PolitenessConfig = graft.model.PolitenessConfig(
+        maxGlobal = Int.MaxValue, maxPerHost = Int.MaxValue),
+      roundSec: Double = 1e9,
+      maxRetries: Int = 2): Unit = {
     import graft.crawl.CrawlJob
     import graft.dedup.UrlSeen
+    import graft.politeness.{Robots, Scheduler}
     val spark = batch.sparkSession
     val store = new graft.checkpoint.SnapshotStore(storeDir)
     val resume = store.readCurrent()
@@ -146,19 +170,36 @@ object Streams {
     // store guarantees — ordering inside one micro-batch is not meaningful)
     val withSeq = batch.withColumn(
       "seq", xxhash64(col("card_c"), col("trans_c"), col("date")))
-    val frontier = CrawlJob.expandSeeds(withSeq, provider, providers)
-    // the batch commits with TWO actions (seen delta + rates delta), both
-    // rooted at `fresh` — cache the slim frontier rows (no page text) and
-    // materialize BEFORE the writes, or each action re-runs the whole
-    // expand → dedup → anti-join chain (the same recompute-per-action shape
-    // the batch CrawlJob caches against)
-    val fresh = UrlSeen.filterNewExact(UrlSeen.dedupWithinBatch(frontier), seenDf).cache()
+    val newFrontier = UrlSeen.dedupWithinBatch(CrawlJob.expandSeeds(withSeq, provider, providers))
+    // deferred/retry rows from prior batches re-enter ahead of new seeds;
+    // a re-arriving seed whose URL is already in the backlog must not
+    // shadow the backlog row (which may carry retry state)
+    val backlog = resume.flatMap(_._2.get("backlog")).filter(_.nonEmpty)
+      .map(spark.read.parquet(_)).getOrElse(newFrontier.limit(0))
+    val incoming = backlog.unionByName(
+      newFrontier.join(backlog.select("canonUrl"), Seq("canonUrl"), "left_anti"))
+    // retries bypass the dupefilter (they ARE in seen), as in the batch loop
+    val firstTry = incoming.filter(col("retries") === 0)
+    val retries = incoming.filter(col("retries") > 0)
+    val fresh = UrlSeen.filterNewExact(firstTry, seenDf).unionByName(retries)
+    // robots gate + politeness schedule — the batch round's gates, inside
+    // the micro-batch. Cached/materialized BEFORE the writes: the commit
+    // runs several actions rooted here, and each would otherwise re-run
+    // the whole expand → dedup → gate → schedule chain
+    val allowed = robots.filter(!_.isEmpty).map(Robots.allowed(fresh, _)).getOrElse(fresh)
+    import spark.implicits._
+    val hostStates = resume.flatMap(_._2.get("hostStates")).filter(_.nonEmpty)
+      .map(p => spark.read.parquet(p).as[graft.model.HostState])
+      .getOrElse(spark.emptyDataset[graft.model.HostState])
+    val sched = Scheduler.scheduleRound(allowed, hostStates.toDF, cfg, roundSec).cache()
     try { // count() inside: a throw during materialization must still unpersist
-      fresh.count()
-      val fetched = fresh.hint("shuffle_hash")
+      sched.count()
+      val fetched = sched.hint("shuffle_hash")
         .join(pages.select(col("url"), col("text")), Seq("url"), "left")
       val extracted = fetched.select(
-        col("canonUrl"), col("urlHash"), col("card_c"), col("trans_c"), col("date"),
+        col("url"), col("canonUrl"), col("urlHash"), col("host"), col("card_c"),
+        col("trans_c"), col("date"), col("provider"), col("priority"), col("seq"),
+        col("retries"), col("headers"),
         graft.provider.Providers.idCol(col("provider"), providers).as("provider_id"),
         col("text").isNotNull.as("hit"),
         (col("text").isNotNull && coalesce(
@@ -166,28 +207,55 @@ object Streams {
           lit(false))).as("is_err"),
         graft.provider.Providers.route(col("provider"), providers)(_.extractRate(col("text")))
           .as("rate"))
-      val parsed = extracted.filter(col("hit") && !col("is_err"))
-        .select(col("card_c").as("card_code"), col("trans_c").as("trans_code"),
-          col("date"), col("provider_id"), col("rate"))
-        .dropDuplicates("card_code", "trans_code", "date", "provider_id")
-      val newRates = parsed.join(
-        ratesDf.select("card_code", "trans_code", "date", "provider_id"),
-        Seq("card_code", "trans_code", "date", "provider_id"), "left_anti")
-      val seenDelta = fresh.select(
-        col("urlHash"), col("canonUrl").as("url"), lit(batchId.toInt + 1).as("round"))
+        .cache()
+      extracted.count() // one streaming pass over the page text fills the slim cache
+      try {
+        val parsed = extracted.filter(col("hit") && !col("is_err"))
+          .select(col("card_c").as("card_code"), col("trans_c").as("trans_code"),
+            col("date"), col("provider_id"), col("rate"))
+          .dropDuplicates("card_code", "trans_code", "date", "provider_id")
+        val newRates = parsed.join(
+          ratesDf.select("card_code", "trans_code", "date", "provider_id"),
+          Seq("card_code", "trans_code", "date", "provider_id"), "left_anti")
+        val seenDelta = sched.select(
+          col("urlHash"), col("canonUrl").as("url"), lit(batchId.toInt + 1).as("round"))
+        // next backlog = politeness-deferred rows + fetch-miss retries
+        // (priority-1, retries+1, dropped past maxRetries) — the streaming
+        // analogue of the frontier surviving a batch round
+        val frontierCols = incoming.columns.map(col)
+        val deferred = allowed.join(
+          sched.select("urlHash", "canonUrl"), Seq("urlHash", "canonUrl"), "left_anti")
+          .select(frontierCols: _*)
+        val retryRows = extracted
+          .filter(!col("hit") && col("retries") < maxRetries)
+          .select(incoming.columns.map {
+            case "priority" => (col("priority") - 1).as("priority")
+            case "retries" => (col("retries") + 1).as("retries")
+            case c => col(c)
+          }: _*)
+        val backlog1 = deferred.unionByName(retryRows)
+        val hostStates1 = Scheduler.updateHostStates(
+          sched, hostStates, cfg, batchId.toInt + 1, roundSec)
 
-      val version = resume.map(_._1).getOrElse(0) + 1
-      val seenPath = store.dataPath("seen", version)
-      val ratesPath = store.dataPath("rates", version)
-      seenDelta.write.mode("overwrite").parquet(seenPath)
-      newRates.write.mode("overwrite").parquet(ratesPath)
-      seenPaths = seenPaths :+ seenPath
-      ratesPaths = ratesPaths :+ ratesPath
-      store.commit(version, Map(
-        "seen" -> seenPaths.mkString(";"),
-        "rates" -> ratesPaths.mkString(";"),
-        "batches" -> (doneBatches + batchId).toSeq.sorted.mkString(";")))
-    } finally fresh.unpersist()
+        val version = resume.map(_._1).getOrElse(0) + 1
+        val seenPath = store.dataPath("seen", version)
+        val ratesPath = store.dataPath("rates", version)
+        val backlogPath = store.dataPath("backlog", version)
+        val hostStatesPath = store.dataPath("hostStates", version)
+        seenDelta.write.mode("overwrite").parquet(seenPath)
+        newRates.write.mode("overwrite").parquet(ratesPath)
+        backlog1.write.mode("overwrite").parquet(backlogPath)
+        hostStates1.toDF.write.mode("overwrite").parquet(hostStatesPath)
+        seenPaths = seenPaths :+ seenPath
+        ratesPaths = ratesPaths :+ ratesPath
+        store.commit(version, Map(
+          "seen" -> seenPaths.mkString(";"),
+          "rates" -> ratesPaths.mkString(";"),
+          "backlog" -> backlogPath,
+          "hostStates" -> hostStatesPath,
+          "batches" -> (doneBatches + batchId).toSeq.sorted.mkString(";")))
+      } finally extracted.unpersist()
+    } finally sched.unpersist()
   }
 
   // ------------------------------------------------ stateful host sessions

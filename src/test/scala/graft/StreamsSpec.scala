@@ -154,6 +154,65 @@ class StreamsSpec extends SparkSpec {
     assert(store.currentVersion() === v1, "replayed batch must not commit again")
   }
 
+  test("streaming slice: politeness defers to the backlog, robots drops, retries re-enter and drop") {
+    import graft.model.PolitenessConfig
+    import graft.synth.Synth
+    val storeDir = java.nio.file.Files.createTempDirectory("polite-store").toString
+    val seeds = Seq(
+      ("GBP", "USD", java.sql.Date.valueOf("1995-09-10"), 0L),
+      ("USD", "GBP", java.sql.Date.valueOf("1995-09-10"), 1L),
+      ("EUR", "USD", java.sql.Date.valueOf("1995-09-10"), 2L),
+      ("USD", "EUR", java.sql.Date.valueOf("1995-09-10"), 3L))
+      .toDF("card_c", "trans_c", "date", "seq")
+    // pages cover every seed EXCEPT (USD, EUR) — that URL is a fetch miss
+    val pages = Synth.mcPages(seeds.filter(!(col("card_c") === "USD" && col("trans_c") === "EUR")))
+    // robots disallow the (EUR, USD) URL path prefix? — rules are per-path;
+    // all MC urls share a prefix, so gate on the exact conversion-rate path
+    // of the EUR seed instead
+    val eurPath = graft.urls.Urls.mcUrl("EUR", "USD", java.time.LocalDate.parse("1995-09-10"))
+      .replace("https://www.mastercard.co.uk", "")
+    val robots = Seq(("www.mastercard.co.uk", eurPath, false))
+      .toDF("host", "pathPrefix", "allow")
+    // budget: 1 URL per host per batch (all seeds share one host) — the
+    // other eligible row must defer to the backlog, not vanish
+    val cfg = PolitenessConfig(maxGlobal = Int.MaxValue, maxPerHost = 1)
+    def step(id: Long): Unit = Streams.processSeedBatch(
+      if (id == 0) seeds.select("card_c", "trans_c", "date") else seeds.limit(0).select("card_c", "trans_c", "date"),
+      id, pages, storeDir, "Mastercard", graft.provider.Providers.registry,
+      robots = Some(robots), cfg = cfg, roundSec = 1e9, maxRetries = 1)
+    val store = new graft.checkpoint.SnapshotStore(storeDir)
+    def backlogCount = spark.read.parquet(store.readCurrent().get._2("backlog")).count()
+    def seenUrls = spark.read.parquet(
+      store.readCurrent().get._2("seen").split(";").toIndexedSeq: _*).select("url").as[String].collect().toSet
+
+    step(0)
+    // batch 0: robots drops EUR→USD; of the 3 eligible rows exactly 1 is
+    // scheduled (maxPerHost=1, one shared host); the other 2 DEFER to the
+    // backlog (+1 more if the scheduled row was the fetch miss, which
+    // re-enters as a retry — scheduling order within equal priority is a
+    // seq-hash artifact, so accept either)
+    assert(seenUrls.size === 1)
+    assert(backlogCount === 2 || backlogCount === 3, s"got $backlogCount")
+    step(1); step(2); step(3)
+    // one scheduled row per batch: by the end of batch 3 every branch of
+    // the order tree has scheduled all 3 eligible URLs, retried the
+    // fetch-missed (USD, EUR) row once (priority-1 puts retries behind
+    // first-try rows), missed again, and dropped it past maxRetries=1
+    val seen3 = seenUrls
+    assert(seen3.size === 3)
+    assert(!seen3.exists(_.contains("crdhldBillCurr=EUR")), "robots-disallowed URL must never be fetched")
+    assert(backlogCount === 0, "exhausted retry must leave the backlog")
+    // rates: the two fetchable, robots-allowed seeds
+    val rates = spark.read.parquet(
+      store.readCurrent().get._2("rates").split(";").toIndexedSeq: _*)
+      .select("card_code", "trans_code").as[(String, String)].collect().toSet
+    assert(rates === Set(("GBP", "USD"), ("USD", "GBP")))
+    // AIMD host state persisted across batches
+    val hs = spark.read.parquet(store.readCurrent().get._2("hostStates"))
+      .as[graft.model.HostState].collect()
+    assert(hs.exists(_.host == "www.mastercard.co.uk"))
+  }
+
   test("seed ingest parses the frontier CSV dialect") {
     val raw = Seq(("GBP", "USD", "07/09/1995")).toDF("card_c", "trans_c", "date")
     val out = Streams.ingestSeeds(raw).as[(String, String, java.sql.Date)].head()
