@@ -87,8 +87,19 @@ object Bench {
     val total = all.map(_._2).filter(_ >= 0).sum
     val urlsPerSec = (crawlUrls / crawlSec).round
     // regression gate vs the pinned best-of baselines (flag, not fail —
-    // see QueryBaseline scaladoc for why a hard exit would be flaky here)
-    val pins = QueryBaseline.load(java.nio.file.Paths.get("BENCH/QUERY_BASELINE.json"), sfDir)
+    // see QueryBaseline scaladoc for why a hard exit would be flaky here).
+    // A disarmed or partially-blind gate must SAY so: silently-empty pins
+    // (SF mismatch, moved testdata) or orphaned pins (a key that no longer
+    // appears — e.g. the crawl metric's key embeds the crawled-URL count
+    // and renames itself exactly when the crawl drops URLs) would
+    // otherwise read as "no regressions".
+    val pinFile = java.nio.file.Paths.get("BENCH/QUERY_BASELINE.json")
+    val pins = QueryBaseline.load(pinFile, sfDir)
+    if (java.nio.file.Files.exists(pinFile) && pins.isEmpty)
+      System.err.println(s"[bench] WARNING: regression gate DISARMED — $pinFile has no pins for sf dir '$sfDir'")
+    val orphaned = (pins.keySet -- all.map(_._1).toSet).toSeq.sorted
+    orphaned.foreach(k => System.err.println(
+      s"[bench] WARNING: pinned query '$k' produced no timing this run (renamed or removed?) — its regression check did not happen"))
     val regs = QueryBaseline.regressions(all, pins)
     regs.foreach { case (n, t, p) =>
       System.err.println(String.format(java.util.Locale.ROOT,

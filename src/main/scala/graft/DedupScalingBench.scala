@@ -118,8 +118,15 @@ object DedupScalingBench {
       // would pin the file layout for every later level (measured: a
       // 4-file corpus cost the local[16] run ~35% wall vs the same corpus
       // in 16 files) — the N and 4N cells must read the IDENTICAL layout
-      // to be comparable
-      val docsPath = s"$tmp/graft-dedup-docs-$nDocs-$dupPermille"
+      // to be comparable. The path carries a GENERATOR fingerprint (a
+      // sampled content hash, one tiny job): keying on (nDocs, dup) alone
+      // would silently reuse a stale /tmp corpus from a previous build
+      // after any BenchWorkload.docs change, and the tsv knob fingerprint
+      // would record incomparable rows as the same workload.
+      val genFp = synth.BenchWorkload.docs(spark, math.min(nDocs, 1000L), dupPermille)
+        .select(org.apache.spark.sql.functions.expr("bit_xor(xxhash64(doc_id, text))").as("h"))
+        .head().getLong(0)
+      val docsPath = f"$tmp/graft-dedup-docs-$nDocs-$dupPermille-$genFp%016x"
       if (!Files.exists(Paths.get(docsPath, "_SUCCESS")))
         synth.BenchWorkload.docs(spark, nDocs, dupPermille)
           .repartition(32)

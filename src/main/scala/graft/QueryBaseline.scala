@@ -30,16 +30,20 @@ object QueryBaseline {
     kvRe.findAllMatchIn(text).map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
 
-  /** Queries slower than factor× their pin: (name, observed, pinned).
-    * Unpinned queries (new this round) and failed queries (observed < 0)
-    * are never flagged.
+  /** Queries slower than factor× their pin AND at least `minDeltaSec`
+    * absolute over it: (name, observed, pinned). The absolute floor keeps
+    * sub-second fixed-cost queries from flagging on scheduling jitter —
+    * 2× of 0.3 s is noise, 2× of 3 s is a regression. Unpinned queries
+    * (new this round) and failed queries (observed < 0) are never flagged.
     */
   def regressions(
       observed: Seq[(String, Double)],
       pins: Map[String, Double],
-      factor: Double = 2.0): Seq[(String, Double, Double)] =
+      factor: Double = 2.0,
+      minDeltaSec: Double = 0.5): Seq[(String, Double, Double)] =
     observed.collect {
-      case (name, t) if t >= 0 && pins.get(name).exists(p => t > p * factor) =>
+      case (name, t) if t >= 0 &&
+          pins.get(name).exists(p => t > p * factor && t - p > minDeltaSec) =>
         (name, t, pins(name))
     }
 

@@ -54,19 +54,18 @@ object ScalingBench {
         // best-of-N throughput per cpu count: the sandbox VM has visible
         // steal-time noise from co-tenants; external slowdown only ever
         // subtracts, so max-throughput is the capability estimate.
-        // Pre-fingerprint 5-column rows were all recorded under the
-        // committed DEFAULT protocol env — grandfathered as matching only
-        // when the current knob set IS that default. A report run with
-        // non-default knobs (e.g. robots=1) must never best-of against
-        // legacy default-knob rows: that is exactly the cross-workload
-        // fabricated-efficiency comparison the fingerprint prevents.
-        val defaultKnobs =
-          "hot=100;maxper=200000;roundsec=25000;robots=0;miss=0;bucketed=0"
+        // Pre-fingerprint 5-column rows are EXCLUDED outright: their knob
+        // provenance is mixed and unrecoverable — the committed legacy 8M
+        // rows include both rounds=1 runs (only possible under
+        // maxper=8000000/roundsec=1000000, the scaling protocol) and
+        // rounds=4 runs (the env defaults), so no single grandfathering
+        // rule admits them without enabling a cross-workload best-of.
+        // Nothing is lost: round 4 re-measured bests at both levels under
+        // fingerprinted rows.
         val rows = lines.asScala.map(_.split("\t")).map(a =>
           (a(0).toInt, a(1).toDouble, a(2).toLong, a(3).toInt, a(4).toDouble,
             if (a.length >= 6) a(5) else "legacy")).toSeq
-          .filter(r => r._3 == nUrls &&
-            (r._6 == knobs || (r._6 == "legacy" && knobs == defaultKnobs)))
+          .filter(r => r._3 == nUrls && r._6 == knobs)
         val byCpu = rows.groupBy(_._1).map { case (c, rs) => c -> rs.maxBy(_._5) }
         if (byCpu.size < 2) {
           // min==max would compare a level against itself and print a

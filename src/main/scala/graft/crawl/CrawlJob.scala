@@ -407,7 +407,13 @@ object CrawlJob {
         lineagePaths = compact("lineage", lineagePaths)
       }
 
-      store.commit(round, Map(
+      // carry foreign tables (e.g. a persisted IVF model,
+      // Ann.saveCentroids) forward from the previous snapshot: committers
+      // share one store, and a commit that rebuilt the manifest from
+      // scratch would silently DROP every table it doesn't own from the
+      // current snapshot
+      val priorTables = store.readCurrent().map(_._2).getOrElse(Map.empty)
+      store.commit(round, priorTables ++ Map(
         "frontier" -> frontierPath,
         "hostStates" -> hostStatesPath,
         "seen" -> seenPaths.mkString(";"),

@@ -112,11 +112,14 @@ object Streams {
     val raw = spark.readStream
       .schema("card_c STRING, trans_c STRING, date STRING")
       .csv(seedDir)
+    // rules emptiness is checked ONCE here, not per micro-batch (the
+    // batch CrawlJob makes the same once-before-the-loop check)
+    val activeRobots = robots.filter(!_.isEmpty)
     ingestSeeds(raw).writeStream
       .option("checkpointLocation", streamCheckpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         processSeedBatch(batch.toDF, batchId, pages, storeDir, provider, providers,
-          robots, cfg, roundSec, maxRetries)
+          activeRobots, cfg, roundSec, maxRetries)
       }
       .start()
   }
@@ -183,17 +186,19 @@ object Streams {
     val retries = incoming.filter(col("retries") > 0)
     val fresh = UrlSeen.filterNewExact(firstTry, seenDf).unionByName(retries)
     // robots gate + politeness schedule — the batch round's gates, inside
-    // the micro-batch. Cached/materialized BEFORE the writes: the commit
-    // runs several actions rooted here, and each would otherwise re-run
-    // the whole expand → dedup → gate → schedule chain
-    val allowed = robots.filter(!_.isEmpty).map(Robots.allowed(fresh, _)).getOrElse(fresh)
+    // the micro-batch. `allowed` is cached because the commit runs TWO
+    // actions rooted at it (the schedule consumes it AND the backlog's
+    // deferred anti-join re-reads it) — uncached, each action would re-run
+    // the whole expand → dedup-window → seen-anti-join → robots chain.
+    // `None` means no rules (callers decide emptiness once, not per batch).
+    val allowed = robots.map(Robots.allowed(fresh, _)).getOrElse(fresh).cache()
     import spark.implicits._
     val hostStates = resume.flatMap(_._2.get("hostStates")).filter(_.nonEmpty)
       .map(p => spark.read.parquet(p).as[graft.model.HostState])
       .getOrElse(spark.emptyDataset[graft.model.HostState])
     val sched = Scheduler.scheduleRound(allowed, hostStates.toDF, cfg, roundSec).cache()
     try { // count() inside: a throw during materialization must still unpersist
-      sched.count()
+      sched.count() // one pass computes the chain, filling BOTH caches
       val fetched = sched.hint("shuffle_hash")
         .join(pages.select(col("url"), col("text")), Seq("url"), "left")
       val extracted = fetched.select(
@@ -248,14 +253,19 @@ object Streams {
         hostStates1.toDF.write.mode("overwrite").parquet(hostStatesPath)
         seenPaths = seenPaths :+ seenPath
         ratesPaths = ratesPaths :+ ratesPath
-        store.commit(version, Map(
+        // foreign tables (e.g. a persisted IVF model) carry forward — see
+        // the CrawlJob commit note
+        store.commit(version, resume.map(_._2).getOrElse(Map.empty) ++ Map(
           "seen" -> seenPaths.mkString(";"),
           "rates" -> ratesPaths.mkString(";"),
           "backlog" -> backlogPath,
           "hostStates" -> hostStatesPath,
           "batches" -> (doneBatches + batchId).toSeq.sorted.mkString(";")))
       } finally extracted.unpersist()
-    } finally sched.unpersist()
+    } finally {
+      sched.unpersist()
+      allowed.unpersist()
+    }
   }
 
   // ------------------------------------------------ stateful host sessions

@@ -16,12 +16,19 @@ object UrlCols {
 
   val scrapyFingerprintUdf = udf((u: String) => Urls.scrapyFingerprint(u))
 
+  val scrapyFingerprintOfCanonicalUdf =
+    udf((c: String) => Urls.scrapyFingerprintOfCanonical(c))
+
   /** 64-bit dedup key for a (url, canonicalized-url) pair under a
-    * [[DedupKey]] mode — the single derivation every frontier builder uses.
+    * [[DedupKey]] mode — the single derivation every frontier builder
+    * uses. Both modes consume the CARRIED canonical column: the frontier
+    * canonicalizes once, and re-running it inside a fingerprint UDF would
+    * double the per-row URL work in exactly the mode meant for
+    * 10^10-URL-scale parity.
     */
   def urlHashCol(url: Column, canonUrl: Column, mode: DedupKey): Column = mode match {
     case DedupKey.XxHashCanonical => xxhash64(canonUrl)
-    case DedupKey.ScrapySha1 => xxhash64(scrapyFingerprintUdf(url))
+    case DedupKey.ScrapySha1 => xxhash64(scrapyFingerprintOfCanonicalUdf(canonUrl))
   }
 
   /** Host column — built-in `parse_url` (codegen-friendly) with a

@@ -189,9 +189,22 @@ object Urls {
       method: String = "GET",
       body: Array[Byte] = Array.emptyByteArray): String = {
     if (url == null) return null // null-safe: UDFs receive nulls as-is
+    scrapyFingerprintOfCanonical(canonicalize(url), method, body)
+  }
+
+  /** [[scrapyFingerprint]] over an ALREADY-canonicalized URL. The frontier
+    * computes `canonUrl` once and carries it as data; the dedup-key path
+    * must hash that column, not re-run the regex-heavy canonicalization
+    * per row inside the fingerprint.
+    */
+  def scrapyFingerprintOfCanonical(
+      canonUrl: String,
+      method: String = "GET",
+      body: Array[Byte] = Array.emptyByteArray): String = {
+    if (canonUrl == null) return null
     val md = java.security.MessageDigest.getInstance("SHA-1")
     md.update(method.getBytes("UTF-8"))
-    md.update(canonicalize(url).getBytes("UTF-8"))
+    md.update(canonUrl.getBytes("UTF-8"))
     md.update(body)
     md.digest().map(b => f"$b%02x").mkString
   }

@@ -1,7 +1,7 @@
 package graft.util
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, LogicalPlan, Project, SubqueryAlias, Union}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, LeafNode, LocalLimit, LogicalPlan, Project, Repartition, Sample, SubqueryAlias, Union}
 
 object Par {
 
@@ -29,11 +29,19 @@ object Par {
     * idiomatic construction.
     */
   def spread(df: DataFrame): DataFrame = {
-    if (!scanShaped(df.queryExecution.logical)) df
-    else {
-      val p = df.sparkSession.sparkContext.defaultParallelism
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val plan = df.queryExecution.logical
+    if (scanShaped(plan)) {
       if (df.rdd.getNumPartitions < p) df.repartition(p) else df
-    }
+    } else if (fewPartitionShaped(plan, p)) {
+      // limit/sample/coalesce over a scan: probing would execute the very
+      // shuffle the scan-shaped gate avoids (a non-terminal limit plans a
+      // single-partition exchange), yet the result is known to land on few
+      // partitions — e.g. dedupCorpus(docs.limit(n)) would run the whole
+      // signature kernel as ONE task. Repartition unconditionally: the
+      // extra shuffle of slim inputs is noise next to a serialized kernel.
+      df.repartition(p)
+    } else df
   }
 
   /** True when the plan is only narrow exchange-free operators over leaves
@@ -46,6 +54,22 @@ object Par {
     case f: Filter => scanShaped(f.child)
     case s: SubqueryAlias => scanShaped(s.child)
     case u: Union => u.children.forall(scanShaped)
+    case _ => false
+  }
+
+  /** Plans known WITHOUT probing to concentrate rows on few partitions:
+    * limit / sample / an explicit small repartition-or-coalesce, over an
+    * otherwise scan-shaped tree.
+    */
+  private def fewPartitionShaped(plan: LogicalPlan, p: Int): Boolean = plan match {
+    case l: GlobalLimit => scanShaped(l.child) || fewPartitionShaped(l.child, p)
+    case l: LocalLimit => scanShaped(l.child) || fewPartitionShaped(l.child, p)
+    case s: Sample => scanShaped(s.child) || fewPartitionShaped(s.child, p)
+    case r: Repartition => // numPartitions is statically known — no probe
+      r.numPartitions < p && (scanShaped(r.child) || fewPartitionShaped(r.child, p))
+    case pr: Project => fewPartitionShaped(pr.child, p)
+    case f: Filter => fewPartitionShaped(f.child, p)
+    case s: SubqueryAlias => fewPartitionShaped(s.child, p)
     case _ => false
   }
 }

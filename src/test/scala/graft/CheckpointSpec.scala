@@ -96,6 +96,33 @@ class CheckpointSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("foreign snapshot tables (a persisted IVF model) survive later crawl commits") {
+    // production order: crawl rounds → Ann.saveCentroids into the SAME
+    // store → more crawl rounds. Every committer carries the prior
+    // snapshot's foreign tables forward; rebuilding the manifest from
+    // scratch would silently drop the model from the current snapshot and
+    // the next loadCentroids would fail
+    val (frontier, pages, robots) = smallCrawlInputs()
+    val dir = Files.createTempDirectory("crawlForeign").toString
+    CrawlJob.run(spark, frontier, pages, robots, dir, cfg, roundSec = 1.25, maxRounds = 2)
+    val store = new SnapshotStore(dir)
+    val model = Array(Array(1.0, 2.0), Array(3.0, 4.0))
+    graft.ann.Ann.saveCentroids(model, store, spark)
+    // resume past the model's snapshot — the crawl commits more rounds
+    CrawlJob.run(spark, frontier, pages, robots, dir, cfg, roundSec = 1.25)
+    assert(store.readCurrent().get._2.contains("ivf_centroids"),
+      "crawl commit dropped the persisted model from the snapshot")
+    val loaded = graft.ann.Ann.loadCentroids(store, spark)
+    assert(loaded.map(_.toSeq).toSeq === model.map(_.toSeq).toSeq)
+    // the streaming committer carries foreign tables too
+    val seeds1 = Seq(("GBP", "USD", java.sql.Date.valueOf("1995-09-10")))
+      .toDF("card_c", "trans_c", "date")
+    graft.streaming.Streams.processSeedBatch(
+      seeds1, 99L, pages, dir, "Mastercard", graft.provider.Providers.registry)
+    assert(store.readCurrent().get._2.contains("ivf_centroids"))
+    assert(graft.ann.Ann.loadCentroids(store, spark).length === 2)
+  }
+
   test("resume rebuilds missing bloom state (legacy checkpoint) and stays exact") {
     val (frontier, pages, robots) = smallCrawlInputs()
     val dirA = Files.createTempDirectory("crawlBloomA").toString

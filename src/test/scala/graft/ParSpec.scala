@@ -25,6 +25,23 @@ class ParSpec extends SparkSpec {
     assert(Par.spread(wrapped).rdd.getNumPartitions === p)
   }
 
+  test("spread widens limit/sample/coalesce-shaped frames without probing them") {
+    val p = spark.sparkContext.defaultParallelism
+    // a non-terminal limit plans a single-partition exchange — probing it
+    // with .rdd would execute that shuffle; spread must recognize the
+    // shape statically and repartition for the kernel
+    val limited = spark.range(1000).toDF("id").limit(500)
+    assert(Par.spread(limited).rdd.getNumPartitions === p)
+    val coalesced = spark.range(1000).toDF("id").coalesce(1)
+    assert(Par.spread(coalesced).rdd.getNumPartitions === p)
+    val sampled = spark.range(1000).toDF("id").sample(0.5, seed = 7)
+      .select(col("id")).filter(col("id") >= 0)
+    assert(Par.spread(sampled).rdd.getNumPartitions === p)
+    // an already-wide explicit repartition is left alone
+    val wide = spark.range(1000).toDF("id").repartition(p + 4)
+    assert(Par.spread(wide) eq wide)
+  }
+
   test("spread returns derived (post-shuffle) frames unchanged without probing") {
     // an aggregated frame already runs at shuffle.partitions parallelism;
     // with AQE on, probing it via .rdd would eagerly execute the shuffle —

@@ -7,11 +7,13 @@ import org.scalatest.funsuite.AnyFunSuite
 class QueryBaselineSpec extends AnyFunSuite {
 
   test("regression flag fires on a deliberate >2x slowdown, and only then") {
-    val pins = Map("q01" -> 1.0, "q27" -> 2.0, "crawl_120000_urls" -> 6.0)
+    val pins = Map(
+      "q01" -> 1.0, "q27" -> 2.0, "crawl_120000_urls" -> 6.0, "q30" -> 0.325)
     val observed = Seq(
       "q01" -> 1.9, // 1.9x — within tolerance
-      "q27" -> 4.1, // 2.05x — FLAG
+      "q27" -> 4.1, // 2.05x and +2.1s — FLAG
       "crawl_120000_urls" -> 30.0, // 5x — FLAG
+      "q30" -> 0.66, // 2.03x but only +0.34s — sub-second jitter, NOT flagged
       "q99_new" -> 100.0, // unpinned — never flagged
       "q27_failed" -> -1.0) // failed query — reported via errors, not here
     val regs = QueryBaseline.regressions(observed, pins)
