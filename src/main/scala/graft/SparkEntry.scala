@@ -524,6 +524,30 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "q38_clean_corpus" -> ((s, dir) => {
+      // the COMPOSED C4/Gopher-style cleanup pipeline: token bounds →
+      // language filter → quality band checks → exact-dup removal in one
+      // pass, every doc tagged with its first failing reason. The DuckDB
+      // oracle recomputes the ENTIRE verdict chain (tokenization, stopword
+      // language argmax, rounded quality signals, md5 dedup window with
+      // passing-docs-first survivor rank) — a full cross-engine gate, not
+      // a golden list. Planted rows make the rare reasons fire at any SF:
+      // two copies of doc 0 (at least one must read 'duplicate' whatever
+      // doc 0's own verdict) and a 2-token doc ('too_short' — precedence
+      // puts it before its also-true wrong_lang)
+      val off = 1L << 40
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val copy0 = docs.filter(col("doc_id") === 0)
+      val planted = Seq(off + 1, off + 2).map(id =>
+        copy0.select(lit(id).as("doc_id"), col("text")))
+      val short = {
+        import s.implicits._
+        Seq((off + 3, "zq1 zq2")).toDF("doc_id", "text")
+      }
+      graft.pipeline.Corpus.clean((planted :+ short).foldLeft(docs)(_ unionByName _))
+        .orderBy("id")
+    }),
+
     "q33_region_revenue" -> ((s, dir) => {
       // multi-way join (TPC-H Q5 shape): fact × supplier × 2 broadcast dims
       // with a selective region filter — the dims are broadcast explicitly
@@ -780,6 +804,65 @@ object SparkEntry {
                       ELSE '${langs.last}' END AS pred_lang,
                  lang
           FROM scored ORDER BY doc_id"""
+    },
+
+    // q38: the oracle recomputes the full composed-cleanup verdict chain —
+    // filtered whitespace tokens, stopword-ratio language argmax (same CASE
+    // chain as q26, here over the filtered lowered tokens langScores
+    // actually uses), the four ROUNDED quality band checks, and the md5
+    // dedup window ranking passing docs first then min id
+    "q38_clean_corpus" -> {
+      val profiles = graft.functions.TextFns.LangProfiles
+      val langs = profiles.map(_._1)
+      val enStop = profiles.head._2.map(w => s"'$w'").mkString(", ")
+      val scores = profiles.map { case (lang, words) =>
+        val list = words.map(w => s"'$w'").mkString(", ")
+        s"CAST(len(list_filter(ltk, x -> list_contains([$list], x))) AS DOUBLE) / greatest(len(ltk), 1) AS s_$lang"
+      }.mkString(", ")
+      val allZero = langs.map(l => s"s_$l <= 0").mkString(" AND ")
+      val caseChain = langs.init.zipWithIndex.map { case (l, i) =>
+        s"WHEN ${langs.drop(i + 1).map(r => s"s_$l >= s_$r").mkString(" AND ")} THEN '$l'"
+      }.mkString(" ")
+      val off = 1L << 40
+      s"""WITH all_docs AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL SELECT ${off + 1} AS doc_id, text FROM documents WHERE doc_id = 0
+            UNION ALL SELECT ${off + 2} AS doc_id, text FROM documents WHERE doc_id = 0
+            UNION ALL SELECT ${off + 3} AS doc_id, 'zq1 zq2' AS text),
+          toks AS (SELECT doc_id, text,
+            list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS tk,
+            list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS ltk
+            FROM all_docs),
+          sig AS (SELECT doc_id, text, CAST(len(tk) AS INT) AS n_tokens,
+            round(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+                  / greatest(len(tk), 1), 4) AS mwl,
+            round(CAST(len(list_filter(ltk, x -> list_contains([$enStop], x))) AS DOUBLE)
+                  / greatest(len(tk), 1), 4) AS stopr,
+            round(CAST(length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS DOUBLE)
+                  / greatest(length(text), 1), 4) AS alphar,
+            round(CAST(len(list_distinct(tk)) AS DOUBLE) / greatest(len(tk), 1), 4) AS distr,
+            $scores
+            FROM toks),
+          verd AS (SELECT doc_id, text, n_tokens,
+            CASE WHEN $allZero THEN 'und' $caseChain ELSE '${langs.last}' END AS pred_lang,
+            round((CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END
+                 + CASE WHEN stopr >= 0.01 THEN 1.0 ELSE 0.0 END
+                 + CASE WHEN alphar >= 0.6 THEN 1.0 ELSE 0.0 END
+                 + CASE WHEN distr >= 0.2 THEN 1.0 ELSE 0.0 END) / 4.0, 4) AS quality
+            FROM sig),
+          r0 AS (SELECT doc_id, text, n_tokens, pred_lang, quality,
+            CASE WHEN n_tokens < 5 THEN 'too_short'
+                 WHEN n_tokens > 50000 THEN 'too_long'
+                 WHEN pred_lang <> 'en' THEN 'wrong_lang'
+                 WHEN quality < 0.75 THEN 'low_quality' END AS reason0
+            FROM verd),
+          ranked AS (SELECT *, row_number() OVER (
+              PARTITION BY md5(text) ORDER BY (reason0 IS NOT NULL), doc_id) AS rn
+            FROM r0)
+          SELECT doc_id AS id, n_tokens, pred_lang, quality,
+                 COALESCE(reason0, CASE WHEN rn > 1 THEN 'duplicate' END, 'kept') AS reason,
+                 COALESCE(reason0, CASE WHEN rn > 1 THEN 'duplicate' END, 'kept') = 'kept' AS keep
+          FROM ranked ORDER BY id"""
     },
 
     "q27_doc_minhash_pairs" ->
