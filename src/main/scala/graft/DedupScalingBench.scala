@@ -32,8 +32,22 @@ object DedupScalingBench {
         import scala.jdk.CollectionConverters._
         // best-of per cpu count, same-workload rows only (knob fingerprint)
         val rows = Files.readAllLines(runsFile).asScala.map(_.split("\t"))
-          .map(a => (a(0).toInt, a(1).toDouble, a(2).toLong, a(3).toDouble, a(4)))
+          .map(a => (a(0).toInt, a(1).toDouble, a(2).toLong, a(3).toDouble, a(4),
+            if (a.length >= 7) a(6) else "unrecorded"))
           .toSeq.filter(r => r._3 == nDocs && r._5 == knobs)
+        // rows must also share ONE generator fingerprint: a
+        // BenchWorkload.docs change produces a different corpus under the
+        // same knob string, and best-of across generator eras would
+        // compare incomparable workloads. Fail loudly; stale rows are for
+        // the operator to prune, not for the report to silently mix.
+        val gens = rows.map(_._6).distinct
+        if (gens.size > 1) {
+          System.err.println(
+            s"[dedup-scaling] rows for knobs [$knobs] span ${gens.size} generator " +
+              s"fingerprints (${gens.mkString(", ")}) — the doc generator changed; " +
+              s"prune stale rows from $runsFile before reporting")
+          sys.exit(1)
+        }
         val byCpu = rows.groupBy(_._1).map { case (c, rs) => c -> rs.maxBy(_._4) }
         if (byCpu.size < 2) {
           System.err.println(
@@ -43,8 +57,8 @@ object DedupScalingBench {
         }
         val nCpu = byCpu.keys.min
         val n4Cpu = byCpu.keys.max
-        val (_, wN, _, tN, _) = byCpu(nCpu)
-        val (_, w4, _, t4, _) = byCpu(n4Cpu)
+        val (_, wN, _, tN, _, _) = byCpu(nCpu)
+        val (_, w4, _, t4, _, _) = byCpu(n4Cpu)
         val eff = (t4 / tN) / (n4Cpu.toDouble / nCpu)
         def fmt(d: Double) = String.format(java.util.Locale.ROOT, "%.1f", Double.box(d))
         def fmt3(d: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
@@ -69,18 +83,18 @@ object DedupScalingBench {
           s"""{"metric":"dedup_docs_per_sec","localN":{"cpus":$nCpu,"docs_per_sec":${tN.round}},"local4N":{"cpus":$n4Cpu,"docs_per_sec":${t4.round}},"scaling_efficiency":${fmt3(eff)},"docs":$nDocs,"dup_permille":$dupPermille}""")
       case Some(cpusArg) =>
         val cpus = cpusArg.toInt
-        val (wall, survivors) = runOnce(cpus, nDocs, dupPermille)
+        val (wall, survivors, genFp) = runOnce(cpus, nDocs, dupPermille)
         val thr = nDocs / wall
         println(f"[dedup-scaling] local[$cpus]: $nDocs docs in $wall%.1f s → $thr%.0f docs/s ($survivors survivors)")
         Files.writeString(runsFile,
-          String.format(java.util.Locale.ROOT, "%d\t%.2f\t%d\t%.1f\t%s\t%d%n",
+          String.format(java.util.Locale.ROOT, "%d\t%.2f\t%d\t%.1f\t%s\t%d\t%s%n",
             Int.box(cpus), Double.box(wall), Long.box(nDocs), Double.box(thr), knobs,
-            Long.box(survivors)),
+            Long.box(survivors), genFp),
           java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     }
   }
 
-  def runOnce(cpus: Int, nDocs: Long, dupPermille: Int): (Double, Long) = {
+  def runOnce(cpus: Int, nDocs: Long, dupPermille: Int): (Double, Long, String) = {
     val tmp = sys.env.getOrElse("SPARK_GRAFT_BENCH_TMPDIR", "/tmp")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -145,7 +159,7 @@ object DedupScalingBench {
           println(f"[profile $cpus] stage $id%4d $name%-60s tasks=$nt%4d wall=${w / 1000.0}%7.1fs taskTime=${run / 1000.0}%8.1fs")
         }
       }
-      (wall, survivors)
+      (wall, survivors, f"$genFp%016x")
     } finally {
       spark.stop()
     }
