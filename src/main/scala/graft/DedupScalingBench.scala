@@ -35,17 +35,25 @@ object DedupScalingBench {
           .map(a => (a(0).toInt, a(1).toDouble, a(2).toLong, a(3).toDouble, a(4),
             if (a.length >= 7) a(6) else "unrecorded"))
           .toSeq.filter(r => r._3 == nDocs && r._5 == knobs)
-        // rows must also share ONE generator fingerprint: a
-        // BenchWorkload.docs change produces a different corpus under the
-        // same knob string, and best-of across generator eras would
-        // compare incomparable workloads. Fail loudly; stale rows are for
-        // the operator to prune, not for the report to silently mix.
-        val gens = rows.map(_._6).distinct
-        if (gens.size > 1) {
+        // rows must all carry THE CURRENT generator fingerprint (computed
+        // here with a tiny local session — the same sampled content hash
+        // runOnce keys the corpus cache on): a BenchWorkload.docs change
+        // produces a different corpus under the same knob string, and a
+        // report over stale-era rows — mixed OR uniformly old — would
+        // present a previous generator's throughput as current. Fail
+        // loudly; stale rows are for the operator to prune.
+        val currentFp = {
+          val s = SparkSession.builder().master("local[2]")
+            .config("spark.ui.enabled", "false").getOrCreate()
+          try f"${generatorFingerprint(s, nDocs, dupPermille)}%016x"
+          finally s.stop()
+        }
+        val stale = rows.filter(_._6 != currentFp).map(_._6).distinct
+        if (stale.nonEmpty) {
           System.err.println(
-            s"[dedup-scaling] rows for knobs [$knobs] span ${gens.size} generator " +
-              s"fingerprints (${gens.mkString(", ")}) — the doc generator changed; " +
-              s"prune stale rows from $runsFile before reporting")
+            s"[dedup-scaling] rows for knobs [$knobs] carry generator fingerprints " +
+              s"${stale.mkString(", ")} but the CURRENT generator is $currentFp — " +
+              s"the doc generator changed; prune stale rows from $runsFile and re-measure")
           sys.exit(1)
         }
         val byCpu = rows.groupBy(_._1).map { case (c, rs) => c -> rs.maxBy(_._4) }
@@ -94,6 +102,16 @@ object DedupScalingBench {
     }
   }
 
+  /** Sampled content hash of the doc generator's output — the workload's
+    * generator-era identity, shared by the corpus cache key and the tsv
+    * provenance column.
+    */
+  private def generatorFingerprint(
+      spark: SparkSession, nDocs: Long, dupPermille: Int): Long =
+    synth.BenchWorkload.docs(spark, math.min(nDocs, 1000L), dupPermille)
+      .select(org.apache.spark.sql.functions.expr("bit_xor(xxhash64(doc_id, text))").as("h"))
+      .head().getLong(0)
+
   def runOnce(cpus: Int, nDocs: Long, dupPermille: Int): (Double, Long, String) = {
     val tmp = sys.env.getOrElse("SPARK_GRAFT_BENCH_TMPDIR", "/tmp")
     val spark = SparkSession.builder()
@@ -137,9 +155,7 @@ object DedupScalingBench {
       // would silently reuse a stale /tmp corpus from a previous build
       // after any BenchWorkload.docs change, and the tsv knob fingerprint
       // would record incomparable rows as the same workload.
-      val genFp = synth.BenchWorkload.docs(spark, math.min(nDocs, 1000L), dupPermille)
-        .select(org.apache.spark.sql.functions.expr("bit_xor(xxhash64(doc_id, text))").as("h"))
-        .head().getLong(0)
+      val genFp = generatorFingerprint(spark, nDocs, dupPermille)
       val docsPath = f"$tmp/graft-dedup-docs-$nDocs-$dupPermille-$genFp%016x"
       if (!Files.exists(Paths.get(docsPath, "_SUCCESS")))
         synth.BenchWorkload.docs(spark, nDocs, dupPermille)

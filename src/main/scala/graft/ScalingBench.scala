@@ -60,8 +60,9 @@ object ScalingBench {
         // maxper=8000000/roundsec=1000000, the scaling protocol) and
         // rounds=4 runs (the env defaults), so no single grandfathering
         // rule admits them without enabling a cross-workload best-of.
-        // Nothing is lost: round 4 re-measured bests at both levels under
-        // fingerprinted rows.
+        // Round 4 re-measured every level the reports use under
+        // fingerprinted rows (8M N/4N pairs + the 16M/32M weak-scaling
+        // points).
         val rows = lines.asScala.map(_.split("\t")).map(a =>
           (a(0).toInt, a(1).toDouble, a(2).toLong, a(3).toInt, a(4).toDouble,
             if (a.length >= 6) a(5) else "legacy")).toSeq

@@ -54,22 +54,27 @@ object Par {
     case f: Filter => scanShaped(f.child)
     case s: SubqueryAlias => scanShaped(s.child)
     case u: Union => u.children.forall(scanShaped)
+    // Sample and a bare LocalLimit are NARROW — they keep the child's
+    // partitioning, so their probe is as free as the scan's (df.limit
+    // plans GlobalLimit(LocalLimit(..)), which is handled below)
+    case s: Sample => scanShaped(s.child)
+    case l: LocalLimit => scanShaped(l.child)
     case _ => false
   }
 
-  /** Plans known WITHOUT probing to concentrate rows on few partitions:
-    * limit / sample / an explicit small repartition-or-coalesce, over an
-    * otherwise scan-shaped tree.
-    */
+  /** Plans known WITHOUT probing to concentrate rows on few partitions. */
   private def fewPartitionShaped(plan: LogicalPlan, p: Int): Boolean = plan match {
-    case l: GlobalLimit => scanShaped(l.child) || fewPartitionShaped(l.child, p)
-    case l: LocalLimit => scanShaped(l.child) || fewPartitionShaped(l.child, p)
-    case s: Sample => scanShaped(s.child) || fewPartitionShaped(s.child, p)
+    // a non-terminal GlobalLimit requires SinglePartition — its output is
+    // ONE partition regardless of the child's shape, so no child
+    // restriction (and probing it would execute that exchange under AQE)
+    case _: GlobalLimit => true
     case r: Repartition => // numPartitions is statically known — no probe
-      r.numPartitions < p && (scanShaped(r.child) || fewPartitionShaped(r.child, p))
+      r.numPartitions < p
     case pr: Project => fewPartitionShaped(pr.child, p)
     case f: Filter => fewPartitionShaped(f.child, p)
     case s: SubqueryAlias => fewPartitionShaped(s.child, p)
+    case s: Sample => fewPartitionShaped(s.child, p)
+    case l: LocalLimit => fewPartitionShaped(l.child, p)
     case _ => false
   }
 }

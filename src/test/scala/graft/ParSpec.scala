@@ -40,6 +40,15 @@ class ParSpec extends SparkSpec {
     // an already-wide explicit repartition is left alone
     val wide = spark.range(1000).toDF("id").repartition(p + 4)
     assert(Par.spread(wide) eq wide)
+    // sample is NARROW — over a wide child it keeps the width and must not
+    // be collapsed to p by an unconditional repartition
+    val wideSample = wide.sample(0.5, seed = 7)
+    assert(Par.spread(wideSample) eq wideSample)
+    // a limit over ANY child lands on one partition (GlobalLimit plans a
+    // SinglePartition exchange) — spread must widen it even when the child
+    // is wide or derived
+    val limitOverWide = wide.limit(500)
+    assert(Par.spread(limitOverWide).rdd.getNumPartitions === p)
   }
 
   test("spread returns derived (post-shuffle) frames unchanged without probing") {
