@@ -326,10 +326,15 @@ object SparkEntry {
 
     "q23_doc_text_stats" -> ((s, dir) => {
       import graft.functions.TextFns
+      // lowered tokens cross a projection boundary: the 4 profile filters
+      // reference the array from lambda bodies, which Catalyst CSE cannot
+      // deduplicate — inline, the text re-splits once per profile per row
       t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          transform(TextFns.tokens(col("text")), lower _).as("__ltk"))
         .select(
           col("doc_id"),
-          round(element_at(TextFns.langScores(col("text")), "en"), 4).as("en_stop_ratio"),
+          round(element_at(TextFns.langScoresFromTokens(col("__ltk")), "en"), 4).as("en_stop_ratio"),
           TextFns.subwordCount(col("text")).as("n_subwords"))
         .orderBy("doc_id")
     }),
@@ -366,8 +371,11 @@ object SparkEntry {
     // ---- formerly rows-only entries, now under the DuckDB gate ----------
     "q26_doc_langid" -> ((s, dir) => {
       import graft.functions.TextFns
+      // same boundary reasoning as q23 — 4 profile lambdas share one array
       t(s, dir, "documents")
-        .select(col("doc_id"), TextFns.langId(col("text")).as("pred_lang"), col("lang"))
+        .select(col("doc_id"), col("lang"),
+          transform(TextFns.tokens(col("text")), lower _).as("__ltk"))
+        .select(col("doc_id"), TextFns.langIdFromTokens(col("__ltk")).as("pred_lang"), col("lang"))
         .orderBy("doc_id")
     }),
 

@@ -37,19 +37,35 @@ object TextFns {
     "fr" -> Seq("le", "la", "les", "de", "des", "et", "est", "un", "une", "du", "dans", "que", "pour", "pas", "sur"),
     "es" -> Seq("el", "la", "los", "las", "de", "y", "es", "un", "una", "del", "en", "que", "por", "para", "con"))
 
-  def langScores(text: Column): Column = {
-    val toks = transform(tokens(text), lower _)
-    val n = greatest(size(toks), lit(1)).cast("double")
+  def langScores(text: Column): Column =
+    langScoresFromTokens(transform(tokens(text), lower _))
+
+  /** [[langScores]] over an already-materialized LOWERED token array.
+    *
+    * Why the variant exists: the token array is referenced from one filter
+    * lambda PER profile, and Catalyst CSE does not deduplicate expression
+    * trees referenced from lambda bodies (this repo's documented trap —
+    * see DocDedup.minhashSignature) — an inline `tokens(text)` here
+    * re-splits the text once per profile per row. Callers scoring alongside
+    * other token consumers should select the token array through a
+    * projection boundary first and pass the column.
+    */
+  def langScoresFromTokens(loweredToks: Column): Column = {
+    val n = greatest(size(loweredToks), lit(1)).cast("double")
     map_from_arrays(
       array(LangProfiles.map(p => lit(p._1)): _*),
       array(LangProfiles.map { case (_, words) =>
-        size(filter(toks, t => t.isin(words.map(_.asInstanceOf[Any]): _*))) / n
+        size(filter(loweredToks, t => t.isin(words.map(_.asInstanceOf[Any]): _*))) / n
       }: _*))
   }
 
   /** Predicted language code, or "und" when no profile scores > 0. */
-  def langId(text: Column): Column = {
-    val scores = langScores(text)
+  def langId(text: Column): Column =
+    langIdFromTokens(transform(tokens(text), lower _))
+
+  /** [[langId]] over an already-materialized lowered token array. */
+  def langIdFromTokens(loweredToks: Column): Column = {
+    val scores = langScoresFromTokens(loweredToks)
     val best = LangProfiles.map(_._1).foldLeft(struct(lit(-1.0).as("s"), lit("und").as("l"))) {
       (acc, lang) =>
         val s = element_at(scores, lang)
@@ -64,8 +80,15 @@ object TextFns {
     * rules re-expressed as Columns): mean word length, stopword ratio,
     * punctuation-terminal ratio, alpha ratio, repetition ratio.
     */
-  def qualitySignals(text: Column): Column = {
-    val toks = tokens(text)
+  def qualitySignals(text: Column): Column =
+    qualitySignalsFromTokens(text, tokens(text))
+
+  /** [[qualitySignals]] over an already-materialized (raw, unlowered)
+    * token array — same lambda-vs-CSE reasoning as
+    * [[langScoresFromTokens]]; `text` is still needed for the
+    * character-level ratios.
+    */
+  def qualitySignalsFromTokens(text: Column, toks: Column): Column = {
     val nTok = greatest(size(toks), lit(1)).cast("double")
     val enStop = LangProfiles.head._2
     val meanWordLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok
@@ -83,8 +106,12 @@ object TextFns {
   }
 
   /** Scalar [0,1] quality score: the Gopher-ish band checks, averaged. */
-  def qualityScore(text: Column): Column = {
-    val s = qualitySignals(text)
+  def qualityScore(text: Column): Column =
+    qualityScoreFromTokens(text, tokens(text))
+
+  /** [[qualityScore]] over an already-materialized token array. */
+  def qualityScoreFromTokens(text: Column, toks: Column): Column = {
+    val s = qualitySignalsFromTokens(text, toks)
     val checks = Seq(
       s.getField("mean_word_len").between(3.0, 10.0),
       s.getField("stopword_ratio") >= 0.01,
