@@ -35,6 +35,13 @@ object DedupScalingBench {
           .map(a => (a(0).toInt, a(1).toDouble, a(2).toLong, a(3).toDouble, a(4),
             if (a.length >= 7) a(6) else "unrecorded"))
           .toSeq.filter(r => r._3 == nDocs && r._5 == knobs)
+        val byCpu = rows.groupBy(_._1).map { case (c, rs) => c -> rs.maxBy(_._4) }
+        if (byCpu.size < 2) {
+          System.err.println(
+            s"[dedup-scaling] need runs at TWO parallelism levels for knobs [$knobs]; " +
+              s"have ${byCpu.keys.toSeq.sorted.mkString(", ")}")
+          sys.exit(1)
+        }
         // rows must all carry THE CURRENT generator fingerprint (computed
         // here with a tiny local session — the same sampled content hash
         // runOnce keys the corpus cache on): a BenchWorkload.docs change
@@ -54,13 +61,6 @@ object DedupScalingBench {
             s"[dedup-scaling] rows for knobs [$knobs] carry generator fingerprints " +
               s"${stale.mkString(", ")} but the CURRENT generator is $currentFp — " +
               s"the doc generator changed; prune stale rows from $runsFile and re-measure")
-          sys.exit(1)
-        }
-        val byCpu = rows.groupBy(_._1).map { case (c, rs) => c -> rs.maxBy(_._4) }
-        if (byCpu.size < 2) {
-          System.err.println(
-            s"[dedup-scaling] need runs at TWO parallelism levels for knobs [$knobs]; " +
-              s"have ${byCpu.keys.toSeq.sorted.mkString(", ")}")
           sys.exit(1)
         }
         val nCpu = byCpu.keys.min

@@ -331,7 +331,7 @@ object SparkEntry {
       // deduplicate — inline, the text re-splits once per profile per row
       t(s, dir, "documents")
         .select(col("doc_id"), col("text"),
-          transform(TextFns.tokens(col("text")), lower _).as("__ltk"))
+          TextFns.loweredTokens(col("text")).as("__ltk"))
         .select(
           col("doc_id"),
           round(element_at(TextFns.langScoresFromTokens(col("__ltk")), "en"), 4).as("en_stop_ratio"),
@@ -374,7 +374,7 @@ object SparkEntry {
       // same boundary reasoning as q23 — 4 profile lambdas share one array
       t(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
-          transform(TextFns.tokens(col("text")), lower _).as("__ltk"))
+          TextFns.loweredTokens(col("text")).as("__ltk"))
         .select(col("doc_id"), TextFns.langIdFromTokens(col("__ltk")).as("pred_lang"), col("lang"))
         .orderBy("doc_id")
     }),

@@ -18,6 +18,13 @@ object TextFns {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Lowercased [[tokens]] — THE materialization-boundary recipe for the
+    * lambda-heavy consumers ([[langScoresFromTokens]], the stopword band):
+    * select this through a projection boundary once and pass the column,
+    * instead of restating `transform(tokens(text), lower)` per call site.
+    */
+  def loweredTokens(text: Column): Column = transform(tokens(text), lower _)
+
   /** BPE-ish subword count: letter runs + digit runs + punctuation singles,
     * the standard cheap proxy for tokenizer load in data pipelines.
     */
@@ -38,7 +45,7 @@ object TextFns {
     "es" -> Seq("el", "la", "los", "las", "de", "y", "es", "un", "una", "del", "en", "que", "por", "para", "con"))
 
   def langScores(text: Column): Column =
-    langScoresFromTokens(transform(tokens(text), lower _))
+    langScoresFromTokens(loweredTokens(text))
 
   /** [[langScores]] over an already-materialized LOWERED token array.
     *
@@ -61,7 +68,7 @@ object TextFns {
 
   /** Predicted language code, or "und" when no profile scores > 0. */
   def langId(text: Column): Column =
-    langIdFromTokens(transform(tokens(text), lower _))
+    langIdFromTokens(loweredTokens(text))
 
   /** [[langId]] over an already-materialized lowered token array. */
   def langIdFromTokens(loweredToks: Column): Column = {
@@ -80,19 +87,21 @@ object TextFns {
     * rules re-expressed as Columns): mean word length, stopword ratio,
     * punctuation-terminal ratio, alpha ratio, repetition ratio.
     */
-  def qualitySignals(text: Column): Column =
-    qualitySignalsFromTokens(text, tokens(text))
+  def qualitySignals(text: Column): Column = {
+    val tk = tokens(text)
+    qualitySignalsFromTokens(text, tk, transform(tk, lower _))
+  }
 
   /** [[qualitySignals]] over an already-materialized (raw, unlowered)
     * token array — same lambda-vs-CSE reasoning as
     * [[langScoresFromTokens]]; `text` is still needed for the
     * character-level ratios.
     */
-  def qualitySignalsFromTokens(text: Column, toks: Column): Column = {
+  def qualitySignalsFromTokens(text: Column, toks: Column, loweredToks: Column): Column = {
     val nTok = greatest(size(toks), lit(1)).cast("double")
     val enStop = LangProfiles.head._2
     val meanWordLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok
-    val stopRatio = size(filter(transform(toks, lower _), t => t.isin(enStop.map(_.asInstanceOf[Any]): _*))) / nTok
+    val stopRatio = size(filter(loweredToks, t => t.isin(enStop.map(_.asInstanceOf[Any]): _*))) / nTok
     val alphaRatio = length(regexp_replace(text, "[^\\p{L}]", "")).cast("double") /
       greatest(length(text), lit(1))
     val punctTerm = length(regexp_replace(text, "[^.!?]", "")).cast("double") / nTok
@@ -106,12 +115,18 @@ object TextFns {
   }
 
   /** Scalar [0,1] quality score: the Gopher-ish band checks, averaged. */
-  def qualityScore(text: Column): Column =
-    qualityScoreFromTokens(text, tokens(text))
+  def qualityScore(text: Column): Column = {
+    val tk = tokens(text)
+    qualityScoreFromTokens(text, tk, transform(tk, lower _))
+  }
 
-  /** [[qualityScore]] over an already-materialized token array. */
-  def qualityScoreFromTokens(text: Column, toks: Column): Column = {
-    val s = qualitySignalsFromTokens(text, toks)
+  /** [[qualityScore]] over already-materialized raw + lowered token
+    * arrays (callers sharing the arrays with other consumers pass both —
+    * re-lowering internally would cost one array transform per row on the
+    * hot verdict kernel).
+    */
+  def qualityScoreFromTokens(text: Column, toks: Column, loweredToks: Column): Column = {
+    val s = qualitySignalsFromTokens(text, toks, loweredToks)
     val checks = Seq(
       s.getField("mean_word_len").between(3.0, 10.0),
       s.getField("stopword_ratio") >= 0.01,

@@ -55,12 +55,13 @@ object Corpus {
     val lowered = toked.select(
       col("id"), col("__text"), col("__tk"),
       transform(col("__tk"), lower _).as("__ltk"))
+    // __ltk serves BOTH the language scorer and the quality stopword band
     val slim = lowered
       .select(
         col("id"),
         size(col("__tk")).as("n_tokens"),
         TextFns.langIdFromTokens(col("__ltk")).as("pred_lang"),
-        TextFns.qualityScoreFromTokens(col("__text"), col("__tk")).as("quality"),
+        TextFns.qualityScoreFromTokens(col("__text"), col("__tk"), col("__ltk")).as("quality"),
         // md5/128-bit identity — same reasoning as DocDedup.exact: a
         // 64-bit key silently merges distinct docs at 10^10 scale
         md5(col("__text").cast("binary")).as("__h"))
