@@ -102,15 +102,31 @@ object DedupScalingBench {
     }
   }
 
+  /** Bumped on ANY BenchWorkload.docs recipe change — belt-and-braces next
+    * to the content sample: a generator edit that happens to leave every
+    * sampled doc byte-identical still invalidates old rows.
+    */
+  private val GeneratorVersion = 2
+
   /** Sampled content hash of the doc generator's output — the workload's
     * generator-era identity, shared by the corpus cache key and the tsv
-    * provenance column.
+    * provenance column. The sample is SPREAD over the full id range (every
+    * nDocs/1000-th doc), not the first 1000 docs: a generator change whose
+    * effect only shows beyond a prefix (e.g. a family-planting distribution
+    * shift) must change the fingerprint, or a stale /tmp corpus would be
+    * silently reused and old tsv rows graded as current-generation. The
+    * filter on doc_id pushes below the text projection, so only the ~1000
+    * sampled rows ever build text.
     */
   private def generatorFingerprint(
-      spark: SparkSession, nDocs: Long, dupPermille: Int): Long =
-    synth.BenchWorkload.docs(spark, math.min(nDocs, 1000L), dupPermille)
-      .select(org.apache.spark.sql.functions.expr("bit_xor(xxhash64(doc_id, text))").as("h"))
+      spark: SparkSession, nDocs: Long, dupPermille: Int): Long = {
+    import org.apache.spark.sql.functions._
+    val step = math.max(nDocs / 1000L, 1L)
+    synth.BenchWorkload.docs(spark, nDocs, dupPermille)
+      .filter(pmod(col("doc_id"), lit(step)) === 0L)
+      .select(expr(s"bit_xor(xxhash64(doc_id, text, $GeneratorVersion))").as("h"))
       .head().getLong(0)
+  }
 
   def runOnce(cpus: Int, nDocs: Long, dupPermille: Int): (Double, Long, String) = {
     val tmp = sys.env.getOrElse("SPARK_GRAFT_BENCH_TMPDIR", "/tmp")

@@ -25,9 +25,15 @@ object QueryBaseline {
     val pinnedSf = sfRe.findFirstMatchIn(text).map(_.group(1))
     if (!pinnedSf.contains(sfDir)) return Map.empty
     // the file is engine-generated with a fixed flat shape — a targeted
-    // regex beats hand-rolling a JSON parser for it
+    // regex beats hand-rolling a JSON parser for it. Anchored to the
+    // substring AFTER "queries": so a future top-level numeric field (a
+    // timestamp, a factor) can never become a phantom pin that fires the
+    // orphaned-pin warning on every run.
+    val qIdx = text.indexOf("\"queries\"")
+    if (qIdx < 0) return Map.empty
     val kvRe = """"([^"]+)"\s*:\s*(-?[0-9]+(?:\.[0-9]+)?)""".r
-    kvRe.findAllMatchIn(text).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    kvRe.findAllMatchIn(text.substring(qIdx + "\"queries\"".length))
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
 
   /** Queries slower than factor× their pin AND at least `minDeltaSec`

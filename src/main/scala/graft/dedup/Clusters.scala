@@ -123,7 +123,13 @@ object Clusters {
     while (!converged && iter < maxIter) {
       iter += 1
       edges = checkpoint(smallStar(largeStar(edges)), iter)
-      // order-insensitive set checksum on the SAME pass as the count
+      // order-insensitive set checksum on the SAME pass as the count.
+      // Known trade: two DIFFERENT consecutive edge sets with equal counts
+      // whose 64-bit xor-of-hashes collide would declare convergence one
+      // iteration early (probability ~2^-64 per iteration — the xor of
+      // xxhash64 values over a changed set is uniformly distributed). An
+      // exact set compare would cost a full anti-join per iteration;
+      // accepted odds, documented rather than paid for.
       val row = edges.agg(
         count(lit(1)), coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L))).head()
       val sig = (row.getLong(0), row.getLong(1))

@@ -94,6 +94,16 @@ object Streams {
     * `backlog` snapshot table and re-enter on the NEXT micro-batch, the
     * streaming analogue of the frontier surviving a batch round. Defaults
     * (no robots rules, unbounded budget) drain every batch fully.
+    *
+    * DRAIN CONTRACT: backlog rows re-enter only when a later micro-batch
+    * fires, and the file source fires one only for NEW seed files — if the
+    * seed directory goes idle while the backlog is non-empty, the deferred
+    * and retry rows sit in the `backlog` table until the next file arrives
+    * (they are never lost: the snapshot commit is their durability). A
+    * deployment that can stop feeding seeds should drain by dropping empty
+    * marker files (each drives one batch — the technique StreamsSpec uses),
+    * or simply accept that the next real seed file resumes the backlog
+    * first, ahead of its own rows.
     */
   def crawlStream(
       spark: org.apache.spark.sql.SparkSession,

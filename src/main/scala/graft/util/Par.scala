@@ -75,6 +75,18 @@ object Par {
     case s: SubqueryAlias => fewPartitionShaped(s.child, p)
     case s: Sample => fewPartitionShaped(s.child, p)
     case l: LocalLimit => fewPartitionShaped(l.child, p)
+    // a union whose legs are ALL few-partition-shaped is itself
+    // few-partition-shaped (each leg is limit/sample/coalesce-bounded by
+    // construction, so the unconditional repartition stays cheap). A MIXED
+    // union — scan legs beside a GlobalLimit leg, e.g.
+    // scan.unionByName(other.limit(k)) — is deliberately NOT handled:
+    // probing it would execute the limit leg's single-partition exchange
+    // under AQE, and an unconditional repartition would shuffle the scan
+    // legs, which may be arbitrarily large (the exact cost the scan-shaped
+    // probe path exists to avoid). Callers composing such a union should
+    // spread() the scan legs BEFORE unioning; the limit leg's handful of
+    // rows then rides along for free.
+    case u: Union => u.children.forall(fewPartitionShaped(_, p))
     case _ => false
   }
 }
