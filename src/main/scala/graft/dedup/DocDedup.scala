@@ -335,14 +335,36 @@ object DocDedup {
     round(size(array_intersect(shA, shB)).cast("double") /
       greatest(size(array_union(shA, shB)), lit(1)), 4)
 
-  /** LSH candidates verified with exact shingle Jaccard ≥ threshold. */
+  /** LSH candidates verified with exact shingle Jaccard ≥ threshold —
+    * the verification stage a production near-dup pipeline runs after
+    * banding, emitting only pairs whose TRUE set overlap clears the bar.
+    *
+    * Recall contract (the simhash-style honest statement): the candidate
+    * stage keeps pairs whose MinHash-ESTIMATED Jaccard ≥ `candidateSlack` ×
+    * threshold. The estimator over `numHashes` = 64 independent permutations
+    * has σ = sqrt(J(1-J)/64) ≤ 0.0625, so at the default slack 0.8 a pair
+    * with true Jaccard exactly at the threshold survives unless its estimate
+    * undershoots by 0.2·threshold ≥ 2.5σ (≥ 0.99 one-sided); recall decays
+    * toward the banding curve 1-(1-J^4)^16 only for pairs the LSH explode
+    * itself never co-buckets. Both stages are deterministic (hash-derived,
+    * no RNG): a given corpus either yields a pair or it never does — recall
+    * is a population-rate statement, not run-to-run noise.
+    *
+    * Scale shape: the same slim skeleton as every other pair emitter —
+    * candidates come from [[minhashPairs]]'s (id, band, bucket) stream, and
+    * the shingle arrays are computed in ONE corpus pass and attached only to
+    * the few surviving pairs via [[attachPairSides]] (melt → join →
+    * regroup), never re-joined twice over renamed whole-corpus copies.
+    */
   def nearDupPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-      threshold: Double = 0.8): DataFrame = {
-    val candidates = minhashPairs(docs, idCol, textCol, threshold = threshold * 0.8)
-    val sh = docs.select(col(idCol).as("jid"), shingles(col(textCol)).as("jsh"))
-    candidates
-      .join(sh.withColumnRenamed("jid", "id_a").withColumnRenamed("jsh", "sh_a"), Seq("id_a"))
-      .join(sh.withColumnRenamed("jid", "id_b").withColumnRenamed("jsh", "sh_b"), Seq("id_b"))
+      threshold: Double = 0.8, numHashes: Int = 64, bands: Int = 16,
+      maxBucket: Int = 1000, candidateSlack: Double = 0.8,
+      logDropped: Boolean = true): DataFrame = {
+    val candidates = minhashPairs(docs, idCol, textCol, numHashes = numHashes,
+      bands = bands, threshold = threshold * candidateSlack,
+      maxBucket = maxBucket, logDropped = logDropped)
+    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
+    attachPairSides(candidates.select("id_a", "id_b"), sh, "sh")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")

@@ -67,6 +67,31 @@ class DocDedupSpec extends SparkSpec {
     assert(keys === Set((0L, 100L), (1L, 101L)))
     val exact = pairs.find(p => p._1 == 1L).get._3
     assert(exact === 1.0) // identical docs
+    // a sub-threshold overlap must be verified OUT even when LSH proposes
+    // it: two docs sharing half their shingles pass the slack-0.8 candidate
+    // stage at threshold 0.9 estimates but fail the exact bar
+    val half = Seq(
+      (0L, "a b c d e f g h i j"),
+      (1L, "a b c d e f q r s t")).toDF("doc_id", "text")
+    val none = DocDedup.nearDupPairs(half, threshold = 0.9).count()
+    assert(none === 0L)
+  }
+
+  test("nearDupPairs computes the verify shingles in ONE corpus pass (slim-pair skeleton)") {
+    // the verification stage must add exactly ONE shingle computation over
+    // the corpus (the payload table attachPairSides melts onto the pairs) —
+    // the pre-skeleton shape re-joined TWO renamed whole-corpus shingle
+    // copies. array_distinct( is the shingle builder's plan marker, counted
+    // in the ANALYZED plan (the optimizer's ConvertToLocalRelation folds
+    // the kernel away entirely over this spec's literal input); comparing
+    // against the candidate stage's own count keeps the assertion valid if
+    // minhashPairs' internal shape ever changes.
+    def marks(df: org.apache.spark.sql.DataFrame): Int =
+      "array_distinct\\(".r.findAllIn(df.queryExecution.analyzed.toString).length
+    val candidate = marks(DocDedup.minhashPairs(docs, threshold = 0.48))
+    val verified = marks(DocDedup.nearDupPairs(docs, threshold = 0.6))
+    assert(verified === candidate + 1,
+      s"verify stage must add exactly one shingle pass: $candidate -> $verified")
   }
 
   test("simhash: identical docs distance 0; near-dups close; pairs found") {
