@@ -556,6 +556,79 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "q39_clean_neardup" -> ((s, dir) => {
+      // the FULL composed pipeline: clean's verdict chain + near-dup
+      // cluster removal in one call (VERDICT r04 #1). Two planted non-
+      // identical near-dup families, each connected only via a different
+      // generator (the q37 technique, folded into the cleanup):
+      //  - doc 1's tokens REVERSED at off+1: different text (no exact-dup
+      //    verdict possible) but an identical token bag ⇒ simhash hamming 0,
+      //    found with certainty by the chunk blocking; minhash-blind
+      //  - doc 0 UPPERCASED at off+2: different text, but shingles and
+      //    simhash both lowercase first ⇒ identical signatures, found with
+      //    certainty by both generators
+      // Cluster membership is golden (roots 0 and 1 are global min ids —
+      // q34/q37's invariance argument); every OTHER column of the output is
+      // recomputed by the DuckDB oracle through the entire verdict chain
+      // incl. the survivor rank, so which member survives is cross-engine
+      // derived, not pinned
+      val off = 1L << 40
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val reversed1 = docs.filter(col("doc_id") === 1).select(
+        lit(off + 1).as("doc_id"),
+        array_join(reverse(filter(split(lower(trim(col("text"))), "\\s+"), x => x =!= "")), " ")
+          .as("text"))
+      val upper0 = docs.filter(col("doc_id") === 0).select(
+        lit(off + 2).as("doc_id"), upper(col("text")).as("text"))
+      val allDocs = docs.unionByName(reversed1).unionByName(upper0)
+      graft.pipeline.Corpus.cleanWithNearDup(
+        allDocs,
+        Seq(
+          graft.dedup.DocDedup.minhashPairs(allDocs, threshold = 0.9),
+          graft.dedup.DocDedup.simhashPairs(allDocs, maxHamming = 3)))
+        .filter(col("id") < 2 || col("id") >= off)
+        .orderBy("id")
+    }),
+
+    "q40_ann_ivf_persisted" -> ((s, dir) => {
+      // the IVF PRODUCTION path (VERDICT r04 #3): train once → persist the
+      // model into a SnapshotStore → load → query with the loaded
+      // centroids. Training is deterministic, so the persisted-model result
+      // must EXACTLY equal brute-force top-k (nProbe = nLists), which the
+      // DuckDB oracle recomputes independently — the same gate as q35 but
+      // through the save/load composition a deployment actually runs.
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      val storeDir = java.nio.file.Files.createTempDirectory("graft-ivf-model").toString
+      val store = new graft.checkpoint.SnapshotStore(storeDir)
+      val trained = graft.ann.Ann.ivfCentroids(emb, nLists = 8)
+      graft.ann.Ann.saveCentroids(trained, store, s)
+      val loaded = graft.ann.Ann.loadCentroids(store, s)
+      graft.ann.Ann.ivfTopK(queries, emb, k = 5, nLists = 8, nProbe = 8,
+        centroids = Some(loaded))
+        .orderBy("query_id", "rank")
+    }),
+
+    "q41_neardup_verify" -> ((s, dir) => {
+      // nearDupPairs' exact-Jaccard verification under a REAL cross-engine
+      // gate (VERDICT r04 #2): one-token-edit copies of docs 0-2 (one
+      // token APPENDED — adds exactly one 3-shingle, so true Jaccard is
+      // |S|/(|S|+1), far above the 0.8 bar) are planted at +off; the DuckDB
+      // oracle recomputes the shingle sets and the exact Jaccard from the
+      // text. The id_b - id_a === off filter projects exactly the planted
+      // pairs; both LSH stages are hash-deterministic, so discovery is a
+      // fixed property of the corpus, verified at all tested SFs.
+      val off = 1L << 40
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val edited = docs.filter(col("doc_id") < 3).select(
+        (col("doc_id") + off).as("doc_id"),
+        concat(col("text"), lit(" zzqz")).as("text"))
+      graft.dedup.DocDedup.nearDupPairs(docs.unionByName(edited), threshold = 0.8)
+        .filter(col("id_b") - col("id_a") === off)
+        .orderBy("id_a")
+    }),
+
     "q33_region_revenue" -> ((s, dir) => {
       // multi-way join (TPC-H Q5 shape): fact × supplier × 2 broadcast dims
       // with a selective region filter — the dims are broadcast explicitly
@@ -820,57 +893,92 @@ object SparkEntry {
     // actually uses), the four ROUNDED quality band checks, and the md5
     // dedup window ranking passing docs first then min id
     "q38_clean_corpus" -> {
-      val profiles = graft.functions.TextFns.LangProfiles
-      val langs = profiles.map(_._1)
-      val enStop = profiles.head._2.map(w => s"'$w'").mkString(", ")
-      val scores = profiles.map { case (lang, words) =>
-        val list = words.map(w => s"'$w'").mkString(", ")
-        s"CAST(len(list_filter(ltk, x -> list_contains([$list], x))) AS DOUBLE) / greatest(len(ltk), 1) AS s_$lang"
-      }.mkString(", ")
-      val allZero = langs.map(l => s"s_$l <= 0").mkString(" AND ")
-      val caseChain = langs.init.zipWithIndex.map { case (l, i) =>
-        s"WHEN ${langs.drop(i + 1).map(r => s"s_$l >= s_$r").mkString(" AND ")} THEN '$l'"
-      }.mkString(" ")
       val off = 1L << 40
       s"""WITH all_docs AS (
             SELECT doc_id, text FROM documents
             UNION ALL SELECT ${off + 1} AS doc_id, text FROM documents WHERE doc_id = 0
             UNION ALL SELECT ${off + 2} AS doc_id, text FROM documents WHERE doc_id = 0
             UNION ALL SELECT ${off + 3} AS doc_id, 'zq1 zq2' AS text),
-          toks AS (SELECT doc_id, text,
-            list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS tk,
-            list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS ltk
-            FROM all_docs),
-          sig AS (SELECT doc_id, text, CAST(len(tk) AS INT) AS n_tokens,
-            round(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
-                  / greatest(len(tk), 1), 4) AS mwl,
-            round(CAST(len(list_filter(ltk, x -> list_contains([$enStop], x))) AS DOUBLE)
-                  / greatest(len(tk), 1), 4) AS stopr,
-            round(CAST(length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS DOUBLE)
-                  / greatest(length(text), 1), 4) AS alphar,
-            round(CAST(len(list_distinct(tk)) AS DOUBLE) / greatest(len(tk), 1), 4) AS distr,
-            $scores
-            FROM toks),
-          verd AS (SELECT doc_id, text, n_tokens,
-            CASE WHEN $allZero THEN 'und' $caseChain ELSE '${langs.last}' END AS pred_lang,
-            round((CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END
-                 + CASE WHEN stopr >= 0.01 THEN 1.0 ELSE 0.0 END
-                 + CASE WHEN alphar >= 0.6 THEN 1.0 ELSE 0.0 END
-                 + CASE WHEN distr >= 0.2 THEN 1.0 ELSE 0.0 END) / 4.0, 4) AS quality
-            FROM sig),
-          r0 AS (SELECT doc_id, text, n_tokens, pred_lang, quality,
-            CASE WHEN n_tokens < 5 THEN 'too_short'
-                 WHEN n_tokens > 50000 THEN 'too_long'
-                 WHEN pred_lang <> 'en' THEN 'wrong_lang'
-                 WHEN quality < 0.75 THEN 'low_quality' END AS reason0
-            FROM verd),
-          ranked AS (SELECT *, row_number() OVER (
-              PARTITION BY md5(text) ORDER BY (reason0 IS NOT NULL), doc_id) AS rn
-            FROM r0)
+          $cleanChainCtes
           SELECT doc_id AS id, n_tokens, pred_lang, quality,
                  COALESCE(reason0, CASE WHEN rn > 1 THEN 'duplicate' END, 'kept') AS reason,
                  COALESCE(reason0, CASE WHEN rn > 1 THEN 'duplicate' END, 'kept') = 'kept' AS keep
           FROM ranked ORDER BY id"""
+    },
+
+    // q39: the q38 chain EXTENDED by the near-dup stage — the oracle
+    // recomputes every verdict ingredient (tokens, language argmax, quality
+    // bands, exact-dup window) over the corpus + the two planted non-
+    // identical near-dup copies, then applies the survivor rank (kept
+    // first, then min id) WITHIN the golden cluster memberships. Only
+    // membership is pinned (certain by construction — see the query
+    // comment); which member survives and every other column are derived
+    // cross-engine.
+    "q39_clean_neardup" -> {
+      val off = 1L << 40
+      s"""WITH all_docs AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL SELECT ${off + 1} AS doc_id,
+              array_to_string(list_reverse(list_filter(
+                regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '')), ' ') AS text
+              FROM documents WHERE doc_id = 1
+            UNION ALL SELECT ${off + 2} AS doc_id, upper(text) AS text
+              FROM documents WHERE doc_id = 0),
+          $cleanChainCtes
+          , pre AS (SELECT doc_id, n_tokens, pred_lang, quality,
+              COALESCE(reason0, CASE WHEN rn > 1 THEN 'duplicate' END, 'kept') AS reason
+            FROM ranked),
+          m(mid, cid) AS (VALUES
+            (CAST(0 AS BIGINT), CAST(0 AS BIGINT)), (${off + 2}, 0),
+            (1, 1), (${off + 1}, 1)),
+          rk AS (SELECT p.*, m.cid,
+              row_number() OVER (PARTITION BY m.cid
+                ORDER BY (p.reason <> 'kept'), p.doc_id) AS crn
+            FROM pre p JOIN m ON p.doc_id = m.mid)
+          SELECT doc_id AS id, n_tokens, pred_lang, quality, cid AS cluster_id,
+            CASE WHEN reason = 'kept' AND crn > 1 THEN 'near_duplicate' ELSE reason END AS reason,
+            (CASE WHEN reason = 'kept' AND crn > 1 THEN 'near_duplicate' ELSE reason END) = 'kept' AS keep
+          FROM rk ORDER BY id"""
+    },
+
+    "q40_ann_ivf_persisted" ->
+      // same oracle as q35: the persisted-model full-probe IVF must return
+      // exactly the brute-force top-k, recomputed independently by DuckDB
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+                    FROM embeddings WHERE vec_id < 3),
+         scored AS (SELECT query_id, vec_id,
+                           round(list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])), 6) AS cosine
+                    FROM embeddings CROSS JOIN q)
+         SELECT query_id, vec_id, cosine, rank FROM (
+           SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, vec_id) AS INT) AS rank
+           FROM scored)
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "q41_neardup_verify" -> {
+      // full shingle-set + exact-Jaccard recomputation for the planted
+      // one-token-edit pairs: 3-shingles (lowercased whitespace tokens,
+      // distinct, short-doc fallback) of the original and edited texts,
+      // |A∩B| / |A∪B| rounded to 4 — the verification math under a real
+      // cross-engine gate
+      val off = 1L << 40
+      def shingleSql(tkCol: String): String =
+        s"""CASE WHEN len($tkCol) >= 3 THEN list_distinct(list_transform(
+              range(len($tkCol) - 2),
+              i -> array_to_string(list_slice($tkCol, CAST(i AS INT) + 1, CAST(i AS INT) + 3), ' ')))
+            ELSE [array_to_string($tkCol, ' ')] END"""
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 3),
+          pairs AS (SELECT doc_id AS id_a, CAST(doc_id + $off AS BIGINT) AS id_b,
+                           text AS ta, text || ' zzqz' AS tb FROM d),
+          tk AS (SELECT id_a, id_b,
+            list_filter(regexp_split_to_array(lower(trim(ta)), '\\s+'), x -> x <> '') AS ka,
+            list_filter(regexp_split_to_array(lower(trim(tb)), '\\s+'), x -> x <> '') AS kb
+            FROM pairs),
+          sh AS (SELECT id_a, id_b, ${shingleSql("ka")} AS sa, ${shingleSql("kb")} AS sb FROM tk)
+          SELECT id_a, id_b,
+            round(CAST(len(list_filter(sa, x -> list_contains(sb, x))) AS DOUBLE)
+                  / greatest(len(list_distinct(list_concat(sa, sb))), 1), 4) AS jaccard
+          FROM sh ORDER BY id_a"""
     },
 
     "q27_doc_minhash_pairs" ->
@@ -1019,6 +1127,57 @@ object SparkEntry {
            SELECT 'except' AS op, custkey FROM (SELECT DISTINCT custkey FROM big EXCEPT SELECT custkey FROM mach))
          SELECT op, count(*) AS n, CAST(sum(custkey) AS BIGINT) AS key_sum
          FROM ops GROUP BY op ORDER BY op""")
+
+  /** The composed-cleanup verdict-chain CTEs shared by the q38/q39 oracles.
+    * Expects an `all_docs(doc_id, text)` CTE to precede it; yields `ranked`
+    * carrying (doc_id, text, n_tokens, pred_lang, quality, reason0, rn) —
+    * rn is the exact-dup window rank (passing docs first, then min id)
+    * within each md5(text) group. Generated from [[graft.functions.TextFns
+    * .LangProfiles]] so the oracle tracks the engine's language model.
+    */
+  private def cleanChainCtes: String = {
+    val profiles = graft.functions.TextFns.LangProfiles
+    val langs = profiles.map(_._1)
+    val enStop = profiles.head._2.map(w => s"'$w'").mkString(", ")
+    val scores = profiles.map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(ltk, x -> list_contains([$list], x))) AS DOUBLE) / greatest(len(ltk), 1) AS s_$lang"
+    }.mkString(", ")
+    val allZero = langs.map(l => s"s_$l <= 0").mkString(" AND ")
+    val caseChain = langs.init.zipWithIndex.map { case (l, i) =>
+      s"WHEN ${langs.drop(i + 1).map(r => s"s_$l >= s_$r").mkString(" AND ")} THEN '$l'"
+    }.mkString(" ")
+    s"""toks AS (SELECT doc_id, text,
+          list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS tk,
+          list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS ltk
+          FROM all_docs),
+        sig AS (SELECT doc_id, text, CAST(len(tk) AS INT) AS n_tokens,
+          round(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+                / greatest(len(tk), 1), 4) AS mwl,
+          round(CAST(len(list_filter(ltk, x -> list_contains([$enStop], x))) AS DOUBLE)
+                / greatest(len(tk), 1), 4) AS stopr,
+          round(CAST(length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS DOUBLE)
+                / greatest(length(text), 1), 4) AS alphar,
+          round(CAST(len(list_distinct(tk)) AS DOUBLE) / greatest(len(tk), 1), 4) AS distr,
+          $scores
+          FROM toks),
+        verd AS (SELECT doc_id, text, n_tokens,
+          CASE WHEN $allZero THEN 'und' $caseChain ELSE '${langs.last}' END AS pred_lang,
+          round((CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END
+               + CASE WHEN stopr >= 0.01 THEN 1.0 ELSE 0.0 END
+               + CASE WHEN alphar >= 0.6 THEN 1.0 ELSE 0.0 END
+               + CASE WHEN distr >= 0.2 THEN 1.0 ELSE 0.0 END) / 4.0, 4) AS quality
+          FROM sig),
+        r0 AS (SELECT doc_id, text, n_tokens, pred_lang, quality,
+          CASE WHEN n_tokens < 5 THEN 'too_short'
+               WHEN n_tokens > 50000 THEN 'too_long'
+               WHEN pred_lang <> 'en' THEN 'wrong_lang'
+               WHEN quality < 0.75 THEN 'low_quality' END AS reason0
+          FROM verd),
+        ranked AS (SELECT *, row_number() OVER (
+            PARTITION BY md5(text) ORDER BY (reason0 IS NOT NULL), doc_id) AS rn
+          FROM r0)"""
+  }
 
   /** Golden URL VALUES oracles: expected strings produced by the byte-exact
     * pure builders (unit-tested against the reference's Python output).

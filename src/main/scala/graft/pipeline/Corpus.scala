@@ -81,4 +81,75 @@ object Corpus {
           .as("reason"))
       .withColumn("keep", col("reason") === "kept")
   }
+
+  /** [[clean]] composed with NEAR-duplicate removal — the full
+    * C4/RefinedWeb-style pipeline in one call: the row-local filters and
+    * exact-dup window run first (identical semantics and oracle as
+    * [[clean]]), then candidate pairs from any mix of generators
+    * (MinHash-LSH, SimHash, embedding cosine — the same sources
+    * [[graft.dedup.Clusters.dedupCorpusFrom]] composes) are closed into
+    * clusters and every cluster keeps ONE survivor.
+    *
+    * Reason precedence extends the [[clean]] contract by one rung:
+    * `too_short`, `too_long`, `wrong_lang`, `low_quality`, `duplicate`,
+    * `near_duplicate`, else `kept`. A doc already failing an earlier filter
+    * keeps that reason — near-dup demotion applies only to docs the earlier
+    * chain kept. The cluster survivor is the minimum id among members whose
+    * earlier verdict is `kept` (consistent with the exact-dup rule: if a
+    * cluster's min-id member fails a filter or is an exact duplicate, the
+    * next kept member survives); a cluster with no kept member issues no
+    * `near_duplicate` at all.
+    *
+    * Scale shape: ONE reference to the [[clean]] verdict frame — a
+    * two-branch split (inner join + anti-join) would re-execute the whole
+    * verdict kernel (tokenize, language, quality, md5 window) per branch,
+    * the lambda-defeats-CSE trap this repo documents on every signature
+    * pipeline. Instead the (id, cluster_id) table — near-dup docs only, a
+    * small fraction of any real corpus, AQE-broadcastable — left-joins
+    * onto the verdicts and the survivor rank windows over
+    * coalesce(cluster_id, id): unclustered docs are singleton partitions
+    * (rank 1, never demoted), and the window's keyed shuffle of slim
+    * verdict rows is the same shape and cost class as [[clean]]'s own md5
+    * window. Pair generation dominates end to end, exactly as in
+    * `dedupCorpusFrom`.
+    *
+    * @param pairSources pair frames carrying `id_a`, `id_b` (extra columns
+    *                    ignored) in the corpus id space — typically
+    *                    `DocDedup.minhashPairs(docs)` /
+    *                    `DocDedup.simhashPairs(docs)` /
+    *                    `Ann.cosineNearDupPairs(embeddings)`
+    * @return (id, n_tokens, pred_lang, quality, cluster_id, reason, keep)
+    *         for EVERY input doc; cluster_id = the doc's near-dup cluster
+    *         root (its own id when unclustered)
+    */
+  def cleanWithNearDup(
+      docs: DataFrame,
+      pairSources: Seq[DataFrame],
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      keepLang: String = "en",
+      minTokens: Int = 5,
+      maxTokens: Int = 50000,
+      minQuality: Double = 0.75): DataFrame = {
+    require(pairSources.nonEmpty, "cleanWithNearDup needs at least one pair source")
+    val base = clean(docs, idCol, textCol, keepLang, minTokens, maxTokens, minQuality)
+      .drop("keep") // recomputed after demotion
+    val edges = pairSources
+      .map(_.select(col("id_a").cast("long").as("id_a"), col("id_b").cast("long").as("id_b")))
+      .reduce(_ unionByName _)
+    val clusters = graft.dedup.Clusters.resolveClusters(edges)
+      .withColumnRenamed("cluster_id", "__cl")
+    // kept-first then min id: rank 1 is the surviving member iff it is kept;
+    // unclustered docs are singleton partitions and can never rank > 1
+    val w = Window.partitionBy("cluster_id").orderBy(col("reason") =!= "kept", col("id"))
+    base.join(clusters, Seq("id"), "left")
+      .withColumn("cluster_id", coalesce(col("__cl"), col("id")))
+      .withColumn("__rn", row_number().over(w))
+      .select(
+        col("id"), col("n_tokens"), col("pred_lang"), col("quality"),
+        col("cluster_id"),
+        when(col("reason") === "kept" && col("__rn") > 1, "near_duplicate")
+          .otherwise(col("reason")).as("reason"))
+      .withColumn("keep", col("reason") === "kept")
+  }
 }

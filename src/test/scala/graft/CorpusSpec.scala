@@ -59,4 +59,65 @@ class CorpusSpec extends SparkSpec {
       .select("id", "reason").as[(Long, String)].collect().toSeq
     assert(en === Seq((1L, "kept"), (2L, "duplicate")))
   }
+
+  // --------------------------------------------------- near-dup composition
+
+  // a distinct second passing text (disjoint wording, still good English)
+  private val goodEn2 =
+    "some other wonderful words in the long sentence that it was telling us about on that day"
+
+  test("cleanWithNearDup: survivor is the min-id KEPT member; earlier reasons never demoted") {
+    val docs = Seq(
+      (1L, goodEn),  // cluster {1,2,3}: survivor
+      (2L, goodEn2), // near-dup of 1 (per planted pairs) -> near_duplicate
+      (3L, "a b"),   // in the cluster but too_short -> keeps too_short
+      (4L, goodEn),  // exact copy of 1 AND clustered -> duplicate, NOT near_duplicate
+      (5L, goodEn + " extra") // unclustered -> kept, cluster_id = own id
+    ).toDF("doc_id", "text")
+    // pair sources are plain (id_a, id_b) frames — drive the composition
+    // with literal pairs so the spec pins the VERDICT semantics, not any
+    // one generator's recall
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val out = Corpus.cleanWithNearDup(docs, Seq(pairs)).orderBy("id")
+      .select("id", "cluster_id", "reason", "keep")
+      .as[(Long, Long, String, Boolean)].collect().toSeq
+    assert(out === Seq(
+      (1L, 1L, "kept", true),
+      (2L, 1L, "near_duplicate", false),
+      (3L, 1L, "too_short", false),
+      (4L, 1L, "duplicate", false),
+      (5L, 5L, "kept", true)))
+  }
+
+  test("cleanWithNearDup: a failing min-id member shifts the survivor to the next kept id") {
+    val docs = Seq(
+      (1L, "x y"),   // cluster min id but too_short
+      (2L, goodEn),  // next kept id -> survives
+      (3L, goodEn2)  // kept but ranked behind 2 -> near_duplicate
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Corpus.cleanWithNearDup(docs, Seq(pairs)).orderBy("id")
+      .select("id", "reason").as[(Long, String)].collect().toSeq
+    assert(out === Seq((1L, "too_short"), (2L, "kept"), (3L, "near_duplicate")))
+  }
+
+  test("cleanWithNearDup: a cluster with no kept member issues no near_duplicate") {
+    val docs = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val out = Corpus.cleanWithNearDup(docs, Seq(pairs))
+      .select("reason").as[String].collect().toSeq.sorted
+    assert(out === Seq("too_short", "too_short"))
+  }
+
+  test("cleanWithNearDup: multiple pair sources close into ONE cluster") {
+    val docs = Seq((1L, goodEn), (2L, goodEn2), (3L, goodEn + " more words here"))
+      .toDF("doc_id", "text")
+    // chain a-b from source 1, b-c from source 2: only the union closes {1,2,3}
+    val out = Corpus.cleanWithNearDup(docs,
+      Seq(Seq((1L, 2L)).toDF("id_a", "id_b"), Seq((2L, 3L)).toDF("id_a", "id_b")))
+      .orderBy("id").select("id", "cluster_id", "reason")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(out === Seq(
+      (1L, 1L, "kept"), (2L, 1L, "near_duplicate"), (3L, 1L, "near_duplicate")))
+  }
 }
