@@ -33,10 +33,13 @@ object TextFns {
 
   // ------------------------------------------------------------ language ID
 
-  /** Tiny per-language stopword profiles (public common-word lists). The
-    * classifier scores each language by the fraction of tokens that are
-    * stopwords of that language and picks the argmax (ties → first in
-    * [[LangProfiles]] order); below `minHits` hits it returns "und".
+  /** Tiny per-language stopword profiles (public common-word lists) — the
+    * DEFAULT model. The classifier scores each language by the fraction of
+    * tokens that are stopwords of that language and picks the argmax
+    * (ties → first in profile order); with no profile scoring > 0 it
+    * returns "und". Every scorer takes the profile seq as a parameter, so a
+    * deployment plugs its own (larger) model without touching the engine;
+    * honest label: 4 short public stopword lists, not a trained LID model.
     */
   val LangProfiles: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for", "was", "on", "with", "as", "at"),
@@ -44,8 +47,8 @@ object TextFns {
     "fr" -> Seq("le", "la", "les", "de", "des", "et", "est", "un", "une", "du", "dans", "que", "pour", "pas", "sur"),
     "es" -> Seq("el", "la", "los", "las", "de", "y", "es", "un", "una", "del", "en", "que", "por", "para", "con"))
 
-  def langScores(text: Column): Column =
-    langScoresFromTokens(loweredTokens(text))
+  def langScores(text: Column, profiles: Seq[(String, Seq[String])] = LangProfiles): Column =
+    langScoresFromTokens(loweredTokens(text), profiles)
 
   /** [[langScores]] over an already-materialized LOWERED token array.
     *
@@ -57,28 +60,52 @@ object TextFns {
     * other token consumers should select the token array through a
     * projection boundary first and pass the column.
     */
-  def langScoresFromTokens(loweredToks: Column): Column = {
+  def langScoresFromTokens(
+      loweredToks: Column,
+      profiles: Seq[(String, Seq[String])] = LangProfiles): Column = {
     val n = greatest(size(loweredToks), lit(1)).cast("double")
     map_from_arrays(
-      array(LangProfiles.map(p => lit(p._1)): _*),
-      array(LangProfiles.map { case (_, words) =>
+      array(profiles.map(p => lit(p._1)): _*),
+      array(profiles.map { case (_, words) =>
         size(filter(loweredToks, t => t.isin(words.map(_.asInstanceOf[Any]): _*))) / n
       }: _*))
   }
 
   /** Predicted language code, or "und" when no profile scores > 0. */
-  def langId(text: Column): Column =
-    langIdFromTokens(loweredTokens(text))
+  def langId(text: Column, profiles: Seq[(String, Seq[String])] = LangProfiles): Column =
+    langIdFromTokens(loweredTokens(text), profiles)
 
-  /** [[langId]] over an already-materialized lowered token array. */
-  def langIdFromTokens(loweredToks: Column): Column = {
-    val scores = langScoresFromTokens(loweredToks)
-    val best = LangProfiles.map(_._1).foldLeft(struct(lit(-1.0).as("s"), lit("und").as("l"))) {
-      (acc, lang) =>
-        val s = element_at(scores, lang)
-        when(s > acc.getField("s"), struct(s.as("s"), lit(lang).as("l"))).otherwise(acc)
-    }
-    when(best.getField("s") > 0.0, best.getField("l")).otherwise(lit("und"))
+  /** [[langId]] over an already-materialized lowered token array.
+    *
+    * Plan-size contract: the expression is O(L) in the profile count — one
+    * score subtree per profile inside a single array_max over
+    * (score, reverse-order, lang) structs, referenced exactly ONCE. Struct
+    * comparison is lexicographic, so equal scores fall back to the higher
+    * order value = the earlier profile (the documented tie rule), and the
+    * "und" fallback rides the SAME array as a (0.0, L, "und") sentinel:
+    * any profile scoring > 0 beats it, an all-zero row ties at 0.0 and the
+    * sentinel's highest order wins — no second reference to the argmax
+    * tree. That single-reference shape matters twice over: the previous
+    * fold re-referenced the WHOLE scores map per profile (O(L²) expression
+    * nodes, the source of the ~1.5 MiB serialized task binaries at L = 4),
+    * and even an O(L) tree referenced from two `when` branches would
+    * evaluate per reference at runtime, because Spark's subexpression
+    * elimination skips any tree containing lambda variables
+    * (SPARK-35410) — the filter lambdas here disqualify the whole argmax
+    * from CSE.
+    */
+  def langIdFromTokens(
+      loweredToks: Column,
+      profiles: Seq[(String, Seq[String])] = LangProfiles): Column = {
+    val n = greatest(size(loweredToks), lit(1)).cast("double")
+    val L = profiles.size
+    val entries = profiles.zipWithIndex.map { case ((lang, words), i) =>
+      struct(
+        (size(filter(loweredToks, t => t.isin(words.map(_.asInstanceOf[Any]): _*))) / n).as("s"),
+        lit(L - 1 - i).as("o"),
+        lit(lang).as("l"))
+    } :+ struct(lit(0.0).as("s"), lit(L).as("o"), lit("und").as("l"))
+    array_max(array(entries: _*)).getField("l")
   }
 
   // --------------------------------------------------------- quality score

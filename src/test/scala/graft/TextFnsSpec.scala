@@ -25,6 +25,39 @@ class TextFnsSpec extends SparkSpec {
     assert(out.toSeq === rows.map(_._2))
   }
 
+  test("langId is pluggable: 16-profile model classifies and ties break to the earlier profile") {
+    // 16 synthetic languages, each with a disjoint 5-word stopword list
+    val profiles = (0 until 16).map(i =>
+      s"l$i" -> (0 until 5).map(j => s"w${i}s$j"))
+    val rows = Seq(
+      "w3s0 w3s1 w3s2 other words here" -> "l3",   // dominant profile 3
+      "w7s0 w7s1 w12s0 w12s1 filler xx" -> "l7",   // exact TIE l7 vs l12 -> earlier profile
+      "nothing matches any model word" -> "und")
+    val out = rows.map(_._1).toDF("t")
+      .select(TextFns.langId(col("t"), profiles)).as[String].collect()
+    assert(out.toSeq === rows.map(_._2))
+    // default-profile behavior is unchanged by the parameter's existence
+    val en = Seq("the cat and the hat it was").toDF("t")
+      .select(TextFns.langId(col("t"))).as[String].head()
+    assert(en === "en")
+  }
+
+  test("langId expression is O(L) in the profile count (plan-size contract)") {
+    // one token-scan filter per profile — the O(L^2) shape this replaces
+    // re-referenced every profile's score subtree once per profile and
+    // showed up as ~1.5 MiB serialized task binaries at L = 4
+    def filters(profiles: Seq[(String, Seq[String])]): Int =
+      "size\\(filter\\(".r.findAllIn(
+        // aliased: the auto-generated column NAME would otherwise embed the
+        // whole expression text once more and double the count
+        Seq("x").toDF("t")
+          .select(TextFns.langIdFromTokens(TextFns.loweredTokens(col("t")), profiles).as("p"))
+          .queryExecution.analyzed.toString).length
+    val p20 = (0 until 20).map(i => s"l$i" -> (0 until 5).map(j => s"w${i}s$j"))
+    assert(filters(p20) === 20, "one score subtree per profile, not L per profile")
+    assert(filters(TextFns.LangProfiles) === 4)
+  }
+
   test("quality signals: clean prose scores above keyboard mash") {
     val out = Seq(
       "The quick brown fox jumps over the lazy dog. It was a fine day and the fox was glad.",
