@@ -213,6 +213,60 @@ class StreamsSpec extends SparkSpec {
     assert(hs.exists(_.host == "www.mastercard.co.uk"))
   }
 
+  test("cross-batch schedule order under budget matches the batch loop's round semantics") {
+    // VERDICT r04 #8: 18 seeds on one host, budget 8/host/round. The stream
+    // receives ALL seeds in batch 0 and must consume them across micro-
+    // batches in ascending-seq windows of 8 — exactly the batch loop's q31
+    // semantics. Feeding the batch loop the SAME hash-derived seq values
+    // the stream computes internally makes the two paths' (url -> round)
+    // assignments directly comparable: schedule order is data (priority
+    // desc, seq), never arrival order, in both engines.
+    import graft.crawl.CrawlJob
+    import graft.model.PolitenessConfig
+    import graft.synth.Synth
+    val storeDir = java.nio.file.Files.createTempDirectory("order-store").toString
+    val currs = Seq("GBP", "USD", "EUR")
+    val dates = Seq("1995-09-10", "1995-09-09", "1995-09-08")
+    val seeds = (for {
+      c <- currs; tr <- currs if c != tr; d <- dates
+    } yield (c, tr, java.sql.Date.valueOf(d))).toDF("card_c", "trans_c", "date")
+    // the stream's internal seq: xxhash64 over the seed triple
+    val withSeq = seeds.withColumn(
+      "seq", xxhash64(col("card_c"), col("trans_c"), col("date")))
+    val pages = Synth.mcPages(withSeq)
+    val cfg = PolitenessConfig(maxGlobal = Int.MaxValue, maxPerHost = 8)
+
+    // stream: all 18 seeds in batch 0, then empty batches drain the backlog
+    def step(id: Long): Unit = Streams.processSeedBatch(
+      if (id == 0) seeds else seeds.limit(0),
+      id, pages, storeDir, "Mastercard", graft.provider.Providers.registry,
+      cfg = cfg, roundSec = 1e9)
+    (0L to 2L).foreach(step)
+    val store = new graft.checkpoint.SnapshotStore(storeDir)
+    val streamSeen = spark.read.parquet(
+      store.readCurrent().get._2("seen").split(";").filter(_.nonEmpty).toIndexedSeq: _*)
+      .select("url", "round").as[(String, Int)].collect().toMap
+
+    // batch loop over the same seeds + seq values + budget
+    val robots = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL("host STRING, pathPrefix STRING, allow BOOLEAN"))
+    val ckpt = java.nio.file.Files.createTempDirectory("order-batch").toString
+    val (_, batchSeen, _) = CrawlJob.run(
+      spark, CrawlJob.expandSeeds(withSeq, "Mastercard"), pages, robots, ckpt,
+      cfg, roundSec = 1e9, maxRounds = 10)
+    val batchMap = batchSeen.select("url", "round").as[(String, Int)].collect().toMap
+
+    assert(streamSeen.size === 18)
+    assert(streamSeen === batchMap,
+      "stream (url -> round) must equal the batch loop's window assignment")
+    // and the windows are genuinely ascending-seq blocks of 8
+    val bySeq = CrawlJob.expandSeeds(withSeq, "Mastercard")
+      .select("canonUrl", "seq").as[(String, Long)].collect().sortBy(_._2)
+    val expected = bySeq.zipWithIndex.map { case ((u, _), i) => u -> (i / 8 + 1) }.toMap
+    assert(streamSeen === expected)
+  }
+
   test("seed ingest parses the frontier CSV dialect") {
     val raw = Seq(("GBP", "USD", "07/09/1995")).toDF("card_c", "trans_c", "date")
     val out = Streams.ingestSeeds(raw).as[(String, String, java.sql.Date)].head()
