@@ -629,6 +629,25 @@ object SparkEntry {
         .orderBy("id_a")
     }),
 
+    "q42_fingerprint_pairs" -> ((s, dir) => {
+      // winnowing-fingerprint SUBSTRING dedup under the gate: copies of
+      // docs 0-2 with a distinct appended suffix share the entire original
+      // text as a prefix — far beyond the window+k-1 = 24-char winnowing
+      // guarantee, so discovery is certain — and n_shared is the EXACT
+      // fingerprint-set intersection, which DuckDB recomputes bit-for-bit
+      // from the text via the q29 machinery (md5 hash family). The offset
+      // filter projects exactly the planted pairs.
+      val off = 1L << 40
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val edited = docs.filter(col("doc_id") < 3).select(
+        (col("doc_id") + off).as("doc_id"),
+        concat(col("text"), lit(" qz1 qz2 qz3 qz4 qz5 qz6 qz7 qz8")).as("text"))
+      graft.dedup.DocDedup.fingerprintPairs(
+        docs.unionByName(edited), hashKind = "md5", minShared = 3)
+        .filter(col("id_b") - col("id_a") === off)
+        .orderBy("id_a")
+    }),
+
     "q33_region_revenue" -> ((s, dir) => {
       // multi-way join (TPC-H Q5 shape): fact × supplier × 2 broadcast dims
       // with a selective region filter — the dims are broadcast explicitly
@@ -954,6 +973,32 @@ object SparkEntry {
                           ORDER BY cosine DESC, vec_id) AS INT) AS rank
            FROM scored)
          WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "q42_fingerprint_pairs" -> {
+      // full winnowing recomputation (the q29 machinery) for BOTH texts of
+      // each planted pair, then the exact fingerprint-set intersection —
+      // n_shared derived bit-for-bit from the text by an independent engine
+      val off = 1L << 40
+      def hsSql(t: String): String =
+        s"""CASE WHEN length($t) < 9 THEN CAST([] AS UBIGINT[])
+            ELSE list_transform(range(length($t)-9+1),
+                 i -> ('0x'||substr(md5(substr($t, CAST(i AS INT)+1, 9)),1,15))::UBIGINT) END"""
+      def selSql(hs: String): String =
+        s"""CASE WHEN len($hs) = 0 THEN CAST([] AS UBIGINT[])
+            WHEN len($hs) < 16 THEN [list_min($hs)]
+            ELSE list_transform(range(len($hs)-15),
+                 w -> list_min(list_slice($hs, CAST(w AS INT)+1, CAST(w AS INT)+16))) END"""
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 3),
+          pairs AS (SELECT doc_id AS id_a, CAST(doc_id + $off AS BIGINT) AS id_b,
+                           text AS ta, text || ' qz1 qz2 qz3 qz4 qz5 qz6 qz7 qz8' AS tb FROM d),
+          h AS (SELECT id_a, id_b, ${hsSql("ta")} AS ha, ${hsSql("tb")} AS hb FROM pairs),
+          sel AS (SELECT id_a, id_b, ${selSql("ha")} AS sa, ${selSql("hb")} AS sb FROM h),
+          fp AS (SELECT id_a, id_b, list_distinct(sa) AS fa, list_distinct(sb) AS fb FROM sel)
+          SELECT id_a, id_b,
+            CAST(len(list_filter(fa, x -> list_contains(fb, x))) AS INT) AS n_shared
+          FROM fp WHERE len(list_filter(fa, x -> list_contains(fb, x))) >= 3
+          ORDER BY id_a"""
+    },
 
     "q41_neardup_verify" -> {
       // full shingle-set + exact-Jaccard recomputation for the planted

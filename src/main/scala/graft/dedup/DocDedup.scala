@@ -326,6 +326,48 @@ object DocDedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  // ------------------------------------------------- winnowing fingerprints
+
+  /** Winnowing-fingerprint near-dup pairs — SUBSTRING-level duplication
+    * (boilerplate, licenses, templated pages), the dimension token-bag
+    * methods (minhash/simhash) are blind to and the classic MOSS-style
+    * dedup signal a production corpus pipeline runs alongside them. Two
+    * docs pair when they share ≥ `minShared` selected k-gram hashes; the
+    * winnowing guarantee (Schleimer et al., SIGMOD'03) makes discovery of
+    * any shared substring of length ≥ window+k-1 CERTAIN, not
+    * probabilistic — each such substring contributes at least one shared
+    * fingerprint, i.e. one shared bucket.
+    *
+    * Same slim skeleton as every pair emitter here: candidate generation
+    * moves only (id, hash) rows through the bucket explode / cap window
+    * (a fingerprint hash IS the bucket key — no banding needed), and the
+    * full fingerprint arrays are attached only to surviving pairs, where
+    * `n_shared` is computed EXACTLY as |fp(a) ∩ fp(b)| — the bucket cap
+    * can drop a hot bucket's candidates (boilerplate k-grams, observed
+    * on-job like every other cap here) but never corrupts the count a
+    * surviving pair reports.
+    *
+    * @param hashKind "poly" (default, O(1)/position rolling hash — the hot
+    *                 path) or "md5" (recomputable by any engine — the gated
+    *                 query uses it so DuckDB can recompute `n_shared`
+    *                 bit-for-bit)
+    * @return (id_a, id_b, n_shared) with id_a < id_b
+    */
+  def fingerprintPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 9, window: Int = 16, minShared: Int = 3,
+      maxBucket: Int = 1000, hashKind: String = "poly",
+      logDropped: Boolean = true): DataFrame = {
+    val base = graft.util.Par.spread(docs).select(
+      col(idCol).as("id"),
+      graft.functions.TextFns.fingerprint(col(textCol), k, window, hashKind).as("fp"))
+    val buckets = base.select(col("id"), explode(col("fp")).as("h"))
+    val pairs = cappedBucketPairs(buckets, Seq("h"), maxBucket, logDropped, "fingerprintPairs")
+    attachPairSides(pairs, base, "fp")
+      .withColumn("n_shared", size(array_intersect(col("fp_a"), col("fp_b"))))
+      .filter(col("n_shared") >= minShared)
+      .select("id_a", "id_b", "n_shared")
+  }
+
   // ------------------------------------------------------- exact jaccard
 
   /** Exact n-gram Jaccard for candidate pairs (verification stage after

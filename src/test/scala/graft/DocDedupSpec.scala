@@ -94,6 +94,40 @@ class DocDedupSpec extends SparkSpec {
       s"verify stage must add exactly one shingle pass: $candidate -> $verified")
   }
 
+  test("fingerprintPairs: shared long substring pairs with certainty; token-bag methods are blind to it") {
+    // docs 0 and 50 share ONE 60-char substring embedded in otherwise
+    // disjoint vocabularies: winnowing guarantees a shared fingerprint
+    // (shared length 60 >= window+k-1 = 24), while 3-token shingles of the
+    // surrounding disjoint text keep the minhash estimate far below any
+    // useful threshold — substring dedup is a different dimension
+    val shared = "common boilerplate license header text here" // 43 chars
+    val docsFp = Seq(
+      (0L, s"alpha beta gamma delta $shared epsilon zeta eta theta"),
+      (50L, s"uno dos tres cuatro cinco $shared seis siete ocho nueve"),
+      (1L, "completely unrelated words live in this document body"),
+      (2L, "another disjoint set of tokens occupying space here")
+    ).toDF("doc_id", "text")
+    val pairs = DocDedup.fingerprintPairs(docsFp, minShared = 1)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((0L, 50L)),
+      s"exactly the substring pair must surface: ${pairs.toSeq}")
+    assert(pairs.head._3 >= 1)
+    // identical docs share their ENTIRE fingerprint set
+    val twin = Seq((0L, docsFp.where("doc_id = 0").select("text").as[String].head()),
+      (9L, docsFp.where("doc_id = 0").select("text").as[String].head())).toDF("doc_id", "text")
+    val full = DocDedup.fingerprintPairs(twin, minShared = 1).as[(Long, Long, Int)].head()
+    val fpCount = twin.select(
+      size(graft.functions.TextFns.fingerprint(col("text")))).as[Int].head()
+    assert(full === ((0L, 9L, fpCount)))
+    // minShared filters: demanding more shared fingerprints than the pair
+    // has drops it
+    assert(DocDedup.fingerprintPairs(docsFp, minShared = 1000).count() === 0L)
+    // poly and md5 hash families agree on n_shared for the same pair
+    val md5Pair = DocDedup.fingerprintPairs(docsFp, minShared = 1, hashKind = "md5")
+      .as[(Long, Long, Int)].collect()
+    assert(md5Pair.map(p => (p._1, p._2)).toSet === Set((0L, 50L)))
+  }
+
   test("simhash: identical docs distance 0; near-dups close; pairs found") {
     val sigs = docs.select(col("doc_id"), DocDedup.simhash(col("text")).as("sig"))
     val byId = sigs.as[(Long, Long)].collect().toMap
