@@ -23,7 +23,7 @@ import graft.politeness.{Robots, Scheduler}
 object CrawlJob {
 
   /** xxhash64 over the canonical URL — the dedup key (north_rule). */
-  private val canonicalUdf = graft.urls.UrlCols.canonicalUdf
+  private def canonicalCol = graft.expr.Native.canonicalize _
 
   /** Host column — see [[graft.urls.UrlCols.hostCol]] (shared with the
     * robots rule table so frontier hosts and rule hosts derive identically).
@@ -44,7 +44,7 @@ object CrawlJob {
     val p = graft.provider.Providers.byName(provider, providers)
     seeds
       .withColumn("url", p.urlFor(col("card_c"), col("trans_c"), col("date")))
-      .withColumn("canonUrl", canonicalUdf(col("url"))) // computed ONCE, carried as data
+      .withColumn("canonUrl", canonicalCol(col("url"))) // computed ONCE, carried as data
       .withColumn("urlHash", graft.urls.UrlCols.urlHashCol(col("url"), col("canonUrl"), dedupKey))
       .withColumn("host", hostCol(col("url")))
       .withColumn("provider", lit(provider))

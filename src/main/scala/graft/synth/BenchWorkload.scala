@@ -23,7 +23,7 @@ object BenchWorkload {
       .otherwise(concat(lit("host-"), pmod(xxhash64(col("id")), lit(nHosts.toLong)), lit(".example.com")))
     ids
       .withColumn("url", concat(lit("https://"), host, lit("/rates/page-"), col("id")))
-      .withColumn("canonUrl", graft.urls.UrlCols.canonicalUdf(col("url")))
+      .withColumn("canonUrl", graft.expr.Native.canonicalize(col("url")))
       .withColumn("urlHash", xxhash64(col("canonUrl")))
       .withColumn("host", host)
       .withColumn("card_c", concat(lit("C"), col("id").cast("string")))

@@ -28,7 +28,7 @@ object UrlCols {
     */
   def urlHashCol(url: Column, canonUrl: Column, mode: DedupKey): Column = mode match {
     case DedupKey.XxHashCanonical => xxhash64(canonUrl)
-    case DedupKey.ScrapySha1 => xxhash64(scrapyFingerprintOfCanonicalUdf(canonUrl))
+    case DedupKey.ScrapySha1 => xxhash64(graft.expr.Native.scrapyFpOfCanonical(canonUrl))
   }
 
   /** Host column — built-in `parse_url` (codegen-friendly) with a
@@ -45,7 +45,7 @@ object UrlCols {
   def hostCol(url: Column): Column =
     coalesce(
       regexp_replace(lower(parse_url(url, lit("HOST"))), "\\.$", ""),
-      hostOfUdf(url))
+      graft.expr.Native.hostOf(url))
 }
 
 /** How the URL-seen set derives its 64-bit key (SURVEY.md §2 #24).
