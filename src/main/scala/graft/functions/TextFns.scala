@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
   * language ID, quality scoring, token counting, document fingerprinting.
-  * All pure Column expressions (whole-stage-codegen friendly) except the
-  * rolling-hash fingerprint, which is a deterministic Scala UDF.
+  * All pure Column expressions (whole-stage-codegen friendly); the
+  * rolling-hash fingerprint runs as a native Catalyst expression
+  * ([[graft.expr.WinnowFingerprint]]) over the shared [[winnow]] kernel.
   */
 object TextFns {
 
@@ -181,7 +182,13 @@ object TextFns {
     *    60 bits (not 64) so the values are non-negative and signed/unsigned
     *    MIN comparisons agree across engines.
     */
-  val fingerprintUdf = udf((text: String, k: Int, window: Int, hashKind: String) => {
+  val fingerprintUdf = udf(winnow _)
+
+  /** The pure winnowing kernel — shared by the UDF form above (the golden
+    * reference) and the native Catalyst expression
+    * ([[graft.expr.WinnowFingerprint]], the production column).
+    */
+  def winnow(text: String, k: Int, window: Int, hashKind: String): Array[Long] = {
     if (text == null || text.length < k) Array.empty[Long]
     else {
       val n = text.length - k + 1
@@ -232,11 +239,15 @@ object TextFns {
       if (n < window) selected += hashes(dq.peekFirst()) // deque front = global min
       selected.toArray
     }
-  })
+  }
 
   def fingerprint(text: Column, k: Int = 9, window: Int = 16, hashKind: String = "poly"): Column = {
     require(k > 0, "k must be positive")
     require(window > 0, "window must be positive") // window<=0 would loop forever
-    fingerprintUdf(text, lit(k), lit(window), lit(hashKind))
+    // native expression (codegen, no converter layer); coalesce reproduces
+    // the kernel's null → empty-array contract (nullSafeEval yields NULL)
+    coalesce(
+      graft.expr.Native.winnowFingerprint(text, k, window, hashKind),
+      typedLit(Array.empty[Long]))
   }
 }

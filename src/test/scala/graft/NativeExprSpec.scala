@@ -53,6 +53,20 @@ class NativeExprSpec extends SparkSpec {
     assert(both.filter(col("native") =!= col("viaUdf")).count() === 0L)
   }
 
+  test("native winnow fingerprint ≡ UDF on the doc corpus, both hash families") {
+    val docs = graft.synth.BenchWorkload.docs(spark, 300, 200).select("text")
+    for (kind <- Seq("poly", "md5")) {
+      val both = docs.select(
+        Native.winnowFingerprint(col("text"), 9, 16, kind).as("native"),
+        graft.functions.TextFns.fingerprintUdf(col("text"), lit(9), lit(16), lit(kind)).as("viaUdf"))
+      assert(both.filter(!(col("native") <=> col("viaUdf"))).count() === 0L, kind)
+    }
+    // null text: the Column builder coalesces to the kernel's empty array
+    val n = Seq((null: String)).toDF("text")
+      .select(graft.functions.TextFns.fingerprint(col("text"))).as[Seq[Long]].head()
+    assert(n === Seq.empty[Long])
+  }
+
   test("native expressions run inside WholeStageCodegen with no ScalaUDF in the plan") {
     // range-derived input: a literal Seq would be ConvertToLocalRelation'd
     // into a pre-evaluated LocalTableScan and show no codegen at all
