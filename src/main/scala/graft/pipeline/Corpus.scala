@@ -34,6 +34,46 @@ object Corpus {
     * @return (id, n_tokens, pred_lang, quality, reason, keep) for EVERY
     *         input doc; filtering on keep yields the cleaned corpus
     */
+  /** The ROW-LOCAL half of the verdict chain, shared by the batch [[clean]]
+    * and the streaming dual ([[graft.streaming.Streams.cleanDocs]]) so the
+    * two can never disagree on a verdict: every input column passes
+    * through, plus (n_tokens, pred_lang, quality, __h, __r0) where __h is
+    * the md5/128-bit content identity (a 64-bit key silently merges
+    * distinct docs at 10^10 scale — DocDedup.exact's argument) and __r0 is
+    * the first failing row-local reason or NULL.
+    *
+    * Tokenize ONCE through projection boundaries: the token array is
+    * consumed by the count, the language scorer and the quality bands —
+    * and Catalyst CSE does not deduplicate trees referenced from lambda
+    * bodies (the repo's documented trap), so inline tokens(text) in each
+    * consumer would re-split every row ~10x (measured 1.7x on the whole
+    * q38 verdict kernel: 4.5 -> 2.6 s at sf0.1).
+    */
+  private[graft] def rowVerdicts(
+      docs: DataFrame,
+      textCol: String,
+      keepLang: String,
+      minTokens: Int,
+      maxTokens: Int,
+      minQuality: Double): DataFrame = {
+    val passthrough = docs.columns.map(col).toSeq
+    val lowered = docs
+      .withColumn("__tk", TextFns.tokens(col(textCol)))
+      .withColumn("__ltk", transform(col("__tk"), lower _))
+    // __ltk serves BOTH the language scorer and the quality stopword band
+    lowered
+      .select(passthrough ++ Seq(
+        size(col("__tk")).as("n_tokens"),
+        TextFns.langIdFromTokens(col("__ltk")).as("pred_lang"),
+        TextFns.qualityScoreFromTokens(col(textCol), col("__tk"), col("__ltk")).as("quality"),
+        md5(col(textCol).cast("binary")).as("__h")): _*)
+      .withColumn("__r0",
+        when(col("n_tokens") < minTokens, "too_short")
+          .when(col("n_tokens") > maxTokens, "too_long")
+          .when(col("pred_lang") =!= keepLang, "wrong_lang")
+          .when(col("quality") < minQuality, "low_quality"))
+  }
+
   def clean(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -42,34 +82,10 @@ object Corpus {
       minTokens: Int = 5,
       maxTokens: Int = 50000,
       minQuality: Double = 0.75): DataFrame = {
-    // tokenize ONCE through projection boundaries: the token array is
-    // consumed by the count, the 4-profile language scorer and the quality
-    // bands — and Catalyst CSE does not deduplicate trees referenced from
-    // lambda bodies (the repo's documented trap), so inline tokens(text)
-    // in each consumer would re-split every row ~10x (measured 1.7x on
-    // the whole q38 verdict kernel: 4.5 -> 2.6 s at sf0.1)
-    val toked = docs.select(
-      col(idCol).cast("long").as("id"),
-      col(textCol).as("__text"),
-      TextFns.tokens(col(textCol)).as("__tk"))
-    val lowered = toked.select(
-      col("id"), col("__text"), col("__tk"),
-      transform(col("__tk"), lower _).as("__ltk"))
-    // __ltk serves BOTH the language scorer and the quality stopword band
-    val slim = lowered
-      .select(
-        col("id"),
-        size(col("__tk")).as("n_tokens"),
-        TextFns.langIdFromTokens(col("__ltk")).as("pred_lang"),
-        TextFns.qualityScoreFromTokens(col("__text"), col("__tk"), col("__ltk")).as("quality"),
-        // md5/128-bit identity — same reasoning as DocDedup.exact: a
-        // 64-bit key silently merges distinct docs at 10^10 scale
-        md5(col("__text").cast("binary")).as("__h"))
-      .withColumn("__r0",
-        when(col("n_tokens") < minTokens, "too_short")
-          .when(col("n_tokens") > maxTokens, "too_long")
-          .when(col("pred_lang") =!= keepLang, "wrong_lang")
-          .when(col("quality") < minQuality, "low_quality"))
+    val slim = rowVerdicts(
+      docs.select(col(idCol).cast("long").as("id"), col(textCol).as("__text")),
+      "__text", keepLang, minTokens, maxTokens, minQuality)
+      .select("id", "n_tokens", "pred_lang", "quality", "__h", "__r0")
     // passing docs first (false < true), then min id: rank 1 is the
     // surviving copy; a passing doc ranked behind it is the duplicate
     val w = Window.partitionBy("__h").orderBy(col("__r0").isNotNull, col("id"))

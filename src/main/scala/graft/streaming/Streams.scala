@@ -60,6 +60,44 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("urlHash", "canonUrl")
 
+  /** Streaming corpus cleanup — the streaming dual of
+    * [[graft.pipeline.Corpus.clean]] for a document INGEST stream
+    * (ts TIMESTAMP, doc_id, text, …): the same row-local verdict kernels
+    * (token bounds, language ID, quality bands — literally shared code,
+    * `Corpus.rowVerdicts`, so batch and stream can never disagree on a
+    * verdict), then exact dedup of the in-flight window via
+    * `dropDuplicatesWithinWatermark` on the md5/128-bit content identity.
+    *
+    * Contract differences vs the batch form, stated honestly: the stream
+    * emits SURVIVORS (docs passing every filter, first copy only) rather
+    * than tagging every doc with a reason — a streaming drop is a drop;
+    * and the surviving duplicate is the first to ARRIVE inside the
+    * watermark horizon (arrival order — the batch passing-first/min-id
+    * rule needs the whole partition). Near-dup cluster removal stays a
+    * batch job by nature: connected components are a global fixed point,
+    * not a per-row verdict. Division of labor at scale mirrors
+    * [[dedupUrls]]: this stage exactly dedups the in-flight window with
+    * watermark-bounded state; the accumulated corpus store remains the
+    * unbounded-horizon dedup the survivors are checked against on append.
+    *
+    * @return the cleaned stream: every input column plus
+    *         (n_tokens, pred_lang, quality)
+    */
+  def cleanDocs(
+      docs: DataFrame,
+      watermark: String = "1 hour",
+      textCol: String = "text",
+      keepLang: String = "en",
+      minTokens: Int = 5,
+      maxTokens: Int = 50000,
+      minQuality: Double = 0.75): DataFrame =
+    graft.pipeline.Corpus.rowVerdicts(
+      docs, textCol, keepLang, minTokens, maxTokens, minQuality)
+      .filter(col("__r0").isNull)
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("__h")
+      .drop("__r0", "__h")
+
   /** Watermarked tumbling-window fetch metrics: events(ts, host, fetched,
     * bytes) → per-window per-host counts. Late data beyond the watermark is
     * dropped — at 10^10 URLs the state store must stay bounded.

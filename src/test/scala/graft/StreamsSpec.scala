@@ -63,6 +63,35 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming corpus cleanup: row-local filters + watermarked exact dedup, batch-verdict parity") {
+    implicit val sqlCtx = spark.sqlContext
+    val goodEn = "the quick brown fox jumps over a lazy dog and it was quite fast for sure"
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDF.toDF("ts", "doc_id", "text")
+    val q = Streams.cleanDocs(docs, watermark = "1 hour")
+      .writeStream.format("memory").queryName("clean_docs").outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2026-01-01 10:00:00"), 1L, goodEn),
+        (ts("2026-01-01 10:00:01"), 2L, "one two"), // too_short -> dropped
+        (ts("2026-01-01 10:00:02"), 3L, goodEn))    // in-batch exact dup -> dropped
+      q.processAllAvailable()
+      input.addData(
+        (ts("2026-01-01 10:30:00"), 4L, goodEn),    // cross-batch dup within watermark -> dropped
+        (ts("2026-01-01 10:30:01"), 5L, goodEn + " extra words on this one"))
+      q.processAllAvailable()
+      val out = spark.table("clean_docs")
+        .select("doc_id", "n_tokens", "pred_lang", "quality")
+        .as[(Long, Int, String, Double)].collect().sortBy(_._1)
+      assert(out.map(_._1).toSeq === Seq(1L, 5L), s"survivors: ${out.toSeq}")
+      // verdict parity with the batch kernel: same doc -> same columns
+      val batch = graft.pipeline.Corpus.clean(
+        Seq((1L, goodEn)).toDF("doc_id", "text"))
+        .select("n_tokens", "pred_lang", "quality").as[(Int, String, Double)].head()
+      assert((out(0)._2, out(0)._3, out(0)._4) === batch)
+    } finally q.stop()
+  }
+
   test("stateful host sessions: AIMD delay update per fetch event") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[FetchEvent]
