@@ -425,7 +425,7 @@ object SparkEntry {
       // byte values = code points on the DuckDB side).
       graft.multimodal.Multimodal.extractFeatures(
         graft.multimodal.Multimodal.syntheticMedia(t(s, dir, "documents")))
-        .toDF
+        .toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"),
           round(col("mean_luma"), 4).as("mean_luma"), col("frames_sampled"))
         .orderBy("media_id")

@@ -100,7 +100,7 @@ object Ann {
     * aggregates evaluate once, not once per consumer.
     */
   private def distsExpr(emb: Column, cents: Array[Array[Double]]): Column =
-    array(cents.map(c => distSq(emb, c)): _*)
+    array(cents.toIndexedSeq.map(c => distSq(emb, c)): _*)
 
   /** Index of the minimum distance (first wins on ties — deterministic). */
   private def argminList(dists: Column): Column =

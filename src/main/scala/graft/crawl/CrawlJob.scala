@@ -204,7 +204,7 @@ object CrawlJob {
         if (allowedDomains.isEmpty) fresh else Robots.onSite(fresh, allowedDomains).cache()
       val allowedF = if (robotsEmpty) onsiteF else Robots.allowed(onsiteF, robots).cache()
       // 3. per-host politeness schedule
-      val sched = Scheduler.scheduleRound(allowedF, hostStates.toDF, cfg, roundSec)
+      val sched = Scheduler.scheduleRound(allowedF, hostStates.toDF(), cfg, roundSec)
         .cache()
 
       // materialize the schedule cache NOW, before anything else consumes
@@ -349,7 +349,7 @@ object CrawlJob {
       }
       val writes = Future.sequence(Seq(
         persist("frontier", frontier1),
-        persist("hostStates", hostStates1.toDF),
+        persist("hostStates", hostStates1.toDF()),
         persist("seen", seenDelta),
         persist("rates", newRates),
         persist("metrics", metricsDelta),

@@ -139,7 +139,7 @@ object Scheduler {
     val latency = lit(0.05) +
       pmod(xxhash64(concat(col("host"), lit("#" + round))), lit(500L)).cast("double") / 1000.0
     val targetDelay = latency / cfg.targetConcurrency
-    hostStates.toDF
+    hostStates.toDF()
       .join(fetchedNow, Seq("host"), "full_outer")
       .select(
         col("host"),

@@ -166,7 +166,7 @@ object Streams {
     ingestSeeds(raw).writeStream
       .option("checkpointLocation", streamCheckpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        processSeedBatch(batch.toDF, batchId, pages, storeDir, provider, providers,
+        processSeedBatch(batch.toDF(), batchId, pages, storeDir, provider, providers,
           activeRobots, cfg, roundSec, maxRetries)
       }
       .start()
@@ -244,7 +244,7 @@ object Streams {
     val hostStates = resume.flatMap(_._2.get("hostStates")).filter(_.nonEmpty)
       .map(p => spark.read.parquet(p).as[graft.model.HostState])
       .getOrElse(spark.emptyDataset[graft.model.HostState])
-    val sched = Scheduler.scheduleRound(allowed, hostStates.toDF, cfg, roundSec).cache()
+    val sched = Scheduler.scheduleRound(allowed, hostStates.toDF(), cfg, roundSec).cache()
     try { // count() inside: a throw during materialization must still unpersist
       sched.count() // one pass computes the chain, filling BOTH caches
       val fetched = sched.hint("shuffle_hash")
@@ -275,13 +275,13 @@ object Streams {
         // next backlog = politeness-deferred rows + fetch-miss retries
         // (priority-1, retries+1, dropped past maxRetries) — the streaming
         // analogue of the frontier surviving a batch round
-        val frontierCols = incoming.columns.map(col)
+        val frontierCols = incoming.columns.toIndexedSeq.map(col)
         val deferred = allowed.join(
           sched.select("urlHash", "canonUrl"), Seq("urlHash", "canonUrl"), "left_anti")
           .select(frontierCols: _*)
         val retryRows = extracted
           .filter(!col("hit") && col("retries") < maxRetries)
-          .select(incoming.columns.map {
+          .select(incoming.columns.toIndexedSeq.map {
             case "priority" => (col("priority") - 1).as("priority")
             case "retries" => (col("retries") + 1).as("retries")
             case c => col(c)
@@ -298,7 +298,7 @@ object Streams {
         seenDelta.write.mode("overwrite").parquet(seenPath)
         newRates.write.mode("overwrite").parquet(ratesPath)
         backlog1.write.mode("overwrite").parquet(backlogPath)
-        hostStates1.toDF.write.mode("overwrite").parquet(hostStatesPath)
+        hostStates1.toDF().write.mode("overwrite").parquet(hostStatesPath)
         seenPaths = seenPaths :+ seenPath
         ratesPaths = ratesPaths :+ ratesPath
         // foreign tables (e.g. a persisted IVF model) carry forward — see
