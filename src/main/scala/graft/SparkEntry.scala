@@ -648,6 +648,44 @@ object SparkEntry {
         .orderBy("id_a")
     }),
 
+    "q43_dedup_substring_closure" -> ((s, dir) => {
+      // ONE closure over minhash + winnowing-fingerprint pair sources, with
+      // a family each generator is EXCLUSIVELY responsible for (the q37
+      // technique extended to the substring dimension). The corpus is
+      // crafted with DISJOINT vocabularies — membership certainty is by
+      // construction, because on a shared-vocabulary corpus the winnowing
+      // source legitimately pairs many docs (min-selection favors globally
+      // small gram hashes; measured 2.2M real pairs at sf0.1, minShared 3)
+      // and no golden membership would be SF-invariant:
+      //  - minhash-only family {0, off+1}: doc 0 UPPERCASED — lowercased
+      //    shingles identical ⇒ LSH certain; winnowing k-grams are
+      //    case-sensitive raw text ⇒ fingerprint-blind; md5 differs ⇒
+      //    exact-dedup-blind
+      //  - fingerprint-only family {1, off+2}: doc 1's raw text EMBEDDED
+      //    between two nonsense flanks — the shared 58-char substring far
+      //    exceeds the window+k-1 = 24 winnowing guarantee ⇒ discovery
+      //    certain; the 40 flank tokens dilute shingle Jaccard to ~0.2
+      //    against the 0.9 estimate filter ⇒ minhash-blind
+      val off = 1L << 40
+      import s.implicits._
+      val d0 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+      val d1 = "uno dos tres cuatro cinco seis siete ocho nueve diez"
+      val d2 = "red green blue cyan magenta yellow black white gray pink"
+      val d3 = "car bus train plane boat bike tram ship rocket sled"
+      val flankA = (0 until 20).map(i => s"zq$i").mkString(" ")
+      val flankB = (0 until 20).map(i => s"xw$i").mkString(" ")
+      val docs = Seq(
+        (0L, d0), (1L, d1), (2L, d2), (3L, d3),
+        (off + 1, d0.toUpperCase), (off + 2, s"$flankA $d1 $flankB"))
+        .toDF("doc_id", "text")
+      graft.dedup.Clusters.dedupCorpusFrom(
+        docs,
+        Seq(
+          graft.dedup.DocDedup.minhashPairs(docs, threshold = 0.9),
+          graft.dedup.DocDedup.fingerprintPairs(docs, minShared = 3)))
+        .orderBy("id")
+    }),
+
     "q33_region_revenue" -> ((s, dir) => {
       // multi-way join (TPC-H Q5 shape): fact × supplier × 2 broadcast dims
       // with a selective region filter — the dims are broadcast explicitly
@@ -999,6 +1037,16 @@ object SparkEntry {
           FROM fp WHERE len(list_filter(fa, x -> list_contains(fb, x))) >= 3
           ORDER BY id_a"""
     },
+
+    "q43_dedup_substring_closure" ->
+      // golden crafted-corpus closure: uppercase copy roots at 0 (minhash-
+      // only), substring-embedded copy roots at 1 (fingerprint-only),
+      // disjoint-vocabulary docs 2/3 stay singletons; off = 2^40
+      """SELECT id, cluster_id, keep FROM (VALUES
+           (CAST(0 AS BIGINT), CAST(0 AS BIGINT), true), (1, 1, true),
+           (2, 2, true), (3, 3, true),
+           (1099511627777, 0, false), (1099511627778, 1, false))
+         t(id, cluster_id, keep) ORDER BY id""",
 
     "q41_neardup_verify" -> {
       // full shingle-set + exact-Jaccard recomputation for the planted
