@@ -686,6 +686,24 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "q44_ppm_decode" -> ((s, dir) => {
+      // the REAL image-decode path under the gate: valid binary-P6 bytes
+      // (8×6 RGB, pixel byte i = (doc_id·7 + i·13) mod 256) are built per
+      // doc, parsed by the actual Netpbm decoder (header grammar, raster
+      // extraction), and the TRUE pixel geometry + Rec.601 luma come back.
+      // The DuckDB oracle recomputes the luma analytically from the
+      // generation formula — so a decoder that misparsed the header,
+      // misaligned the raster, or mixed up the channel weights would
+      // hash-mismatch. (Codec formats stay stubbed and honestly labeled;
+      // this gates the decode path the bare JVM CAN run for real.)
+      val ids = t(s, dir, "documents").select("doc_id")
+      graft.multimodal.Multimodal.decodeImageFeatures(
+        graft.multimodal.Multimodal.syntheticPpm(ids))
+        .toDF()
+        .withColumn("mean_luma", round(col("mean_luma"), 4))
+        .orderBy("media_id")
+    }),
+
     "q33_region_revenue" -> ((s, dir) => {
       // multi-way join (TPC-H Q5 shape): fact × supplier × 2 broadcast dims
       // with a selective region filter — the dims are broadcast explicitly
@@ -1047,6 +1065,20 @@ object SparkEntry {
            (2, 2, true), (3, 3, true),
            (1099511627777, 0, false), (1099511627778, 1, false))
          t(id, cluster_id, keep) ORDER BY id""",
+
+    "q44_ppm_decode" ->
+      // analytic recomputation of the P6 fixture: pixel byte i =
+      // (doc_id·7 + i·13) mod 256, luma = Rec.601 over the 48 pixels —
+      // derived from the generation formula alone, independent of the
+      // decoder under test
+      """SELECT doc_id AS media_id, CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           round(list_sum(list_transform(range(48), p ->
+               0.299 * ((doc_id * 7 + (3 * p) * 13) % 256)
+             + 0.587 * ((doc_id * 7 + (3 * p + 1) * 13) % 256)
+             + 0.114 * ((doc_id * 7 + (3 * p + 2) * 13) % 256)))
+             / 48.0, 4) AS mean_luma
+         FROM documents ORDER BY media_id""",
 
     "q41_neardup_verify" -> {
       // full shingle-set + exact-Jaccard recomputation for the planted

@@ -7,14 +7,133 @@ import org.apache.spark.sql.functions._
   * as opaque `binary` columns with typed metadata, plus decode /
   * feature-extract / resize / frame-sample stages.
   *
-  * The media codecs themselves are NOT in this container, so the decode
-  * kernel is a clearly-marked deterministic STUB (`stubDecode`) — what is
-  * real and tested is everything Spark-side: schema, batch iteration shape
-  * (mapPartitions over row batches, the Scala analogue of `mapInPandas`),
-  * partitioning (media rows are fat — partition count follows bytes, not
-  * rows), and the metadata contract.
+  * Decode layering, honestly stated: formats the bare JVM can parse get a
+  * REAL decoder — [[decodePnm]] handles binary Netpbm (P5 grayscale /
+  * P6 RGB) end to end: header grammar incl. comments, raster extraction,
+  * Rec.601 luma, and a true pixel-grid resize ([[pnmResize]]) that emits
+  * valid PNM bytes. Codec formats (JPEG/PNG/audio/video) have no codecs in
+  * this container, so their kernel remains the clearly-marked deterministic
+  * STUB (`stubDecode`); the batch stages take the kernel as a PARAMETER, so
+  * a deployment swaps one function for JNI/FFmpeg without touching the
+  * Spark plumbing — which is real and tested either way: schema, batch
+  * iteration shape (mapPartitions over row batches, the Scala analogue of
+  * `mapInPandas`), byte-balanced partitioning, and the metadata contract.
   */
 object Multimodal {
+
+  // ------------------------------------------------------- real PNM decode
+
+  /** A decoded Netpbm image: `pixels` is the raw raster, row-major,
+    * `channels` bytes per pixel (1 = grayscale P5, 3 = RGB P6).
+    */
+  final case class PnmImage(
+      width: Int, height: Int, channels: Int, maxVal: Int, pixels: Array[Byte])
+
+  /** REAL binary-Netpbm parser (P5/P6, 8-bit): full header grammar —
+    * magic, whitespace runs, `#` comments to end-of-line, width/height/
+    * maxval, then exactly ONE whitespace byte before the raster. Returns
+    * None for anything malformed or truncated (callers fall back to the
+    * stub or drop, explicitly) — never throws on hostile bytes.
+    */
+  def decodePnm(content: Array[Byte]): Option[PnmImage] = {
+    if (content == null || content.length < 2 || content(0) != 'P') return None
+    val channels = content(1) match {
+      case '5' => 1
+      case '6' => 3
+      case _ => return None
+    }
+    var pos = 2
+    def skipWs(): Unit = {
+      var done = false
+      while (!done && pos < content.length) {
+        val c = content(pos)
+        if (c == '#') { while (pos < content.length && content(pos) != '\n') pos += 1 }
+        else if (c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f' || c == 0x0b) pos += 1
+        else done = true
+      }
+    }
+    def readInt(): Int = {
+      skipWs()
+      var v = 0
+      var any = false
+      while (pos < content.length && content(pos) >= '0' && content(pos) <= '9') {
+        v = v * 10 + (content(pos) - '0')
+        pos += 1
+        any = true
+        if (v > 1000000) return -1 // sanity bound: a 10^6-px dimension header on hostile bytes
+      }
+      if (any) v else -1
+    }
+    val w = readInt(); val h = readInt(); val mx = readInt()
+    if (w <= 0 || h <= 0 || mx <= 0 || mx > 255) return None
+    pos += 1 // exactly one whitespace byte separates maxval from the raster
+    val need = w.toLong * h * channels
+    if (need > Int.MaxValue || pos + need > content.length) return None
+    Some(PnmImage(w, h, channels, mx,
+      java.util.Arrays.copyOfRange(content, pos, pos + need.toInt)))
+  }
+
+  /** Mean luma over REAL pixels: grayscale mean for P5, Rec.601
+    * (0.299 R + 0.587 G + 0.114 B) per pixel for P6.
+    */
+  def meanLuma(img: PnmImage): Double = {
+    val n = img.width * img.height
+    if (n == 0) return 0.0
+    var sum = 0.0
+    var p = 0
+    if (img.channels == 1) {
+      while (p < n) { sum += (img.pixels(p) & 0xff); p += 1 }
+    } else {
+      while (p < n) {
+        val i = p * 3
+        sum += 0.299 * (img.pixels(i) & 0xff) +
+          0.587 * (img.pixels(i + 1) & 0xff) +
+          0.114 * (img.pixels(i + 2) & 0xff)
+        p += 1
+      }
+    }
+    sum / n
+  }
+
+  /** Serialize a [[PnmImage]] back to valid binary-Netpbm bytes. */
+  def encodePnm(img: PnmImage): Array[Byte] = {
+    val header = s"P${if (img.channels == 1) 5 else 6}\n${img.width} ${img.height}\n${img.maxVal}\n"
+      .getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + img.pixels.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(img.pixels, 0, out, header.length, img.pixels.length)
+    out
+  }
+
+  /** REAL nearest-neighbor resize on the 2-D pixel grid (not a byte-stream
+    * subsample): source pixel (x·srcW/dstW, y·srcH/dstH) per target pixel,
+    * emitted as valid PNM bytes with the rewritten header. Non-PNM bytes
+    * return None — the [[resize]] stage falls back to the stub kernel.
+    */
+  def pnmResize(content: Array[Byte], dstW: Int): Option[Array[Byte]] = {
+    decodePnm(content).filter(_.width > 0).map { img =>
+      val w2 = math.min(dstW, img.width)
+      val h2 = math.max(1, (img.height.toLong * w2 / img.width).toInt)
+      val out = new Array[Byte](w2 * h2 * img.channels)
+      var y = 0
+      while (y < h2) {
+        val sy = (y.toLong * img.height / h2).toInt
+        var x = 0
+        while (x < w2) {
+          val sx = (x.toLong * img.width / w2).toInt
+          var c = 0
+          while (c < img.channels) {
+            out((y * w2 + x) * img.channels + c) =
+              img.pixels((sy * img.width + sx) * img.channels + c)
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      encodePnm(PnmImage(w2, h2, img.channels, img.maxVal, out))
+    }
+  }
 
   /** The typed media row: content plus the metadata a real pipeline keys on. */
   final case class MediaRow(
@@ -49,17 +168,30 @@ object Multimodal {
     }
   }
 
+  /** [[stubDecode]], with the REAL PNM decoder in front: parseable
+    * P5/P6 bytes yield true pixel luma (one decoded frame); everything
+    * else falls through to the stub. The dispatcher a mixed-format corpus
+    * would actually run.
+    */
+  def pnmOrStubDecode(content: Array[Byte]): (Double, Int) =
+    decodePnm(content).map(img => (meanLuma(img), 1)).getOrElse(stubDecode(content))
+
   /** Decode + featurize in partition-sized batches — one decoder init per
     * partition (the expensive part with real codecs), streaming rows
     * through it. This is the Scala shape of a Pandas `mapInPandas` UDF:
-    * iterator-in/iterator-out, no per-row setup.
+    * iterator-in/iterator-out, no per-row setup. The decode kernel is a
+    * parameter (default: the stub — q30's fixture contract): pass
+    * [[pnmOrStubDecode]] for the real-PNM-first dispatcher, or a JNI/FFmpeg
+    * binding in production.
     */
-  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  def extractFeatures(
+      media: Dataset[MediaRow],
+      decode: Array[Byte] => (Double, Int) = stubDecode): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // real pipeline: val codec = Codec.init() — once per partition
       rows.map { r =>
-        val (luma, frames) = stubDecode(r.content)
+        val (luma, frames) = decode(r.content)
         MediaFeatures(
           r.media_id, r.kind,
           if (r.content == null) 0L else r.content.length.toLong,
@@ -67,6 +199,42 @@ object Multimodal {
           luma, // raw IEEE mean — callers round for display/compare
           frames)
       }
+    }
+  }
+
+  final case class ImageFeatures(
+      media_id: Long, width: Int, height: Int, channels: Int, mean_luma: Double)
+
+  /** REAL image-decode features: rows whose bytes parse as binary Netpbm
+    * yield their TRUE geometry and pixel luma; undecodable rows are
+    * DROPPED (flatMap) — the explicit contract of a decode stage, not a
+    * silent stub substitution. Same batched iterator shape as
+    * [[extractFeatures]].
+    */
+  def decodeImageFeatures(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodePnm(r.content).map(img =>
+          ImageFeatures(r.media_id, img.width, img.height, img.channels, meanLuma(img)))
+      }
+    }
+  }
+
+  /** Deterministic VALID-P6 media table keyed on doc ids: an 8×6 RGB image
+    * per doc with pixel byte i = (doc_id·7 + i·13) mod 256 — real PNM bytes
+    * an independent engine can reproduce analytically (the q44 oracle
+    * recomputes the Rec.601 mean from the formula alone).
+    */
+  def syntheticPpm(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+      val (w, h) = (8, 6)
+      val pixels = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < pixels.length) { pixels(i) = ((id * 7 + i * 13) % 256).toByte; i += 1 }
+      MediaRow(id, "image", encodePnm(PnmImage(w, h, 3, 255, pixels)),
+        "image/x-portable-pixmap", w, h, 0)
     }
   }
 
@@ -194,6 +362,9 @@ object Multimodal {
   /** Resize stage: batch-iterated like [[extractFeatures]] (one decoder/
     * scaler init per partition in a real pipeline), metadata updated to the
     * target geometry. Content stays an opaque binary column throughout.
+    * PNM rows are resized for REAL ([[pnmResize]] — true pixel-grid
+    * nearest-neighbor, valid PNM back out); other formats use the stub
+    * byte-stream kernel until a production scaler is plugged in.
     */
   def resize(media: Dataset[MediaRow], targetWidth: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
@@ -205,7 +376,8 @@ object Multimodal {
       rows.map { r =>
         if (r.width <= targetWidth) r
         else r.copy(
-          content = stubResize(r.content, r.width, targetWidth),
+          content = pnmResize(r.content, targetWidth)
+            .getOrElse(stubResize(r.content, r.width, targetWidth)),
           width = targetWidth,
           height = math.max(1, (r.height.toLong * targetWidth / math.max(r.width, 1)).toInt))
       }

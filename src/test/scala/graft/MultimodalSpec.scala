@@ -146,4 +146,78 @@ class MultimodalSpec extends SparkSpec {
     val empty = Seq.empty[(Long, Array[Byte])].toDF("media_id", "content")
     assert(Multimodal.repartitionByBytes(empty, 1024).count() === 0L)
   }
+
+  // ------------------------------------------------------- real PNM decode
+
+  test("decodePnm: P6 header grammar (comments, whitespace), real pixels, Rec.601 luma") {
+    import graft.multimodal.Multimodal.{PnmImage, decodePnm, encodePnm, meanLuma}
+    // 2x1 RGB: red (255,0,0) and white (255,255,255), with a comment line
+    val bytes = "P6\n# a comment\n2 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](-1, 0, 0, -1, -1, -1)
+    val img = decodePnm(bytes).get
+    assert((img.width, img.height, img.channels, img.maxVal) === ((2, 1, 3, 255)))
+    // luma: red = 0.299*255 = 76.245; white = 255; mean = 165.6225
+    assert(math.abs(meanLuma(img) - (0.299 * 255 + 255.0) / 2) < 1e-9)
+    // encode -> decode round-trips exactly
+    val again = decodePnm(encodePnm(img)).get
+    assert(again === img.copy(pixels = again.pixels))
+    assert(again.pixels.toSeq === img.pixels.toSeq)
+  }
+
+  test("decodePnm: P5 grayscale path and malformed/truncated bytes -> None") {
+    import graft.multimodal.Multimodal.{decodePnm, meanLuma}
+    val gray = "P5\n3 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](0, 100, -56) // 0,100,200
+    val img = decodePnm(gray).get
+    assert(img.channels === 1)
+    assert(math.abs(meanLuma(img) - 100.0) < 1e-9)
+    assert(decodePnm(null) === None)
+    assert(decodePnm("P7\n1 1\n255\nx".getBytes) === None) // unknown magic
+    assert(decodePnm("P6\n2 2\n255\nxx".getBytes) === None) // truncated raster
+    assert(decodePnm("P6\n0 1\n255\n".getBytes) === None) // zero dimension
+    assert(decodePnm("not an image at all".getBytes) === None)
+  }
+
+  test("pnmResize: true pixel-grid nearest-neighbor, valid PNM out") {
+    import graft.multimodal.Multimodal.{decodePnm, pnmResize, PnmImage, encodePnm, meanLuma}
+    // 4x2 grayscale ramp 0..7
+    val src = encodePnm(PnmImage(4, 2, 1, 255, Array[Byte](0, 1, 2, 3, 4, 5, 6, 7)))
+    val out = pnmResize(src, 2).get
+    val img = decodePnm(out).get
+    assert((img.width, img.height) === ((2, 1)))
+    // nearest-neighbor: target (x,y) samples source (x*4/2, y*2/1) = (0,0),(2,0)
+    assert(img.pixels.toSeq === Seq[Byte](0, 2))
+    // non-PNM bytes -> None (resize stage falls back to the stub)
+    assert(pnmResize("plain text".getBytes, 2) === None)
+  }
+
+  test("the pluggable decode kernel: real PNM luma through extractFeatures, stub for the rest") {
+    import graft.multimodal.Multimodal
+    val docs = Seq((0L, "irrelevant"), (1L, "irrelevant")).toDF("doc_id", "text")
+    val ppm = Multimodal.syntheticPpm(docs.select("doc_id"))
+    // real decoder through the SAME batched plumbing
+    val real = Multimodal.extractFeatures(ppm, Multimodal.pnmOrStubDecode)
+      .collect().sortBy(_.media_id)
+    // reference luma computed directly from the generation formula
+    def refLuma(id: Long): Double =
+      (0 until 48).map { p =>
+        0.299 * ((id * 7 + (3 * p) * 13) % 256) +
+          0.587 * ((id * 7 + (3 * p + 1) * 13) % 256) +
+          0.114 * ((id * 7 + (3 * p + 2) * 13) % 256)
+      }.sum / 48
+    assert(real.length === 2)
+    real.foreach(f => assert(math.abs(f.mean_luma - refLuma(f.media_id)) < 1e-9))
+    assert(real.forall(_.frames_sampled === 1)) // one decoded image frame
+    // decodeImageFeatures: true geometry from the header, undecodable dropped
+    val mixed = ppm.union(Multimodal.syntheticMedia(docs).filter(_.media_id == 1L))
+    val feats = Multimodal.decodeImageFeatures(mixed).collect()
+    assert(feats.length === 2, "text-byte rows must be dropped, not stubbed")
+    assert(feats.forall(f => f.width === 8 && f.height === 6 && f.channels === 3))
+    // real resize halves the geometry and the result still decodes
+    val resized = Multimodal.resize(ppm, 4).collect().sortBy(_.media_id)
+    resized.foreach { r =>
+      val img = graft.multimodal.Multimodal.decodePnm(r.content).get
+      assert((img.width, img.height) === ((4, 3)))
+      assert(r.width === 4)
+    }
+  }
 }
