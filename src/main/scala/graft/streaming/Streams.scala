@@ -98,6 +98,71 @@ object Streams {
       .dropDuplicatesWithinWatermark("__h")
       .drop("__r0", "__h")
 
+  /** Exactly-once streaming CORPUS INGEST — [[cleanDocs]] composed with the
+    * snapshot store: JSON-lines documents (ts, doc_id, text) arriving in a
+    * directory → the shared verdict chain + watermark-window dedup → one
+    * atomic `corpus` delta append per micro-batch, deduplicated against the
+    * ACCUMULATED store by content identity (the unbounded-horizon half the
+    * watermark cannot give — same division of labor as the URL-seen path).
+    * Batch-id-idempotent commits exactly as the crawl slice: a replayed
+    * batch after a crash between store commit and stream checkpoint is
+    * detected and skipped, so kill-and-resume is bit-equivalent to an
+    * uninterrupted run (StreamsSpec proves it).
+    */
+  def corpusIngest(
+      spark: org.apache.spark.sql.SparkSession,
+      docDir: String,
+      streamCheckpointDir: String,
+      storeDir: String,
+      watermark: String = "1 hour",
+      keepLang: String = "en",
+      minTokens: Int = 5,
+      maxTokens: Int = 50000,
+      minQuality: Double = 0.75): org.apache.spark.sql.streaming.StreamingQuery = {
+    val raw = spark.readStream
+      .schema("ts TIMESTAMP, doc_id LONG, text STRING")
+      .json(docDir)
+      .filter(col("ts").isNotNull && col("doc_id").isNotNull && col("text").isNotNull)
+    cleanDocs(raw, watermark, "text", keepLang, minTokens, maxTokens, minQuality)
+      .writeStream
+      .option("checkpointLocation", streamCheckpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        processDocBatch(batch.toDF(), batchId, storeDir)
+      }
+      .start()
+  }
+
+  /** One corpus micro-batch: anti-join against the accumulated store's
+    * content identities, append the delta, ONE atomic commit carrying the
+    * batch id. Idempotent per batch id.
+    */
+  private[graft] def processDocBatch(
+      batch: DataFrame, batchId: Long, storeDir: String): Unit = {
+    val spark = batch.sparkSession
+    val store = new graft.checkpoint.SnapshotStore(storeDir)
+    val resume = store.readCurrent()
+    val doneBatches = resume.flatMap(_._2.get("batches"))
+      .map(_.split(";").filter(_.nonEmpty).map(_.toLong).toSet).getOrElse(Set.empty[Long])
+    if (doneBatches.contains(batchId)) return // replayed after crash
+    val corpusPaths = resume.flatMap(_._2.get("corpus"))
+      .map(_.split(";").toIndexedSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    // dedup vs HISTORY on the md5 content identity — slim (hash-only) build
+    // side; the in-flight window was already deduped by cleanDocs
+    val hashed = batch.withColumn("__h", md5(col("text").cast("binary")))
+    val fresh =
+      if (corpusPaths.isEmpty) hashed
+      else hashed.join(
+        spark.read.parquet(corpusPaths: _*)
+          .select(md5(col("text").cast("binary")).as("__h")).distinct(),
+        Seq("__h"), "left_anti")
+    val version = resume.map(_._1).getOrElse(0) + 1
+    val path = store.dataPath("corpus", version)
+    fresh.drop("__h").write.mode("overwrite").parquet(path)
+    store.commit(version, resume.map(_._2).getOrElse(Map.empty) ++ Map(
+      "corpus" -> (corpusPaths :+ path).mkString(";"),
+      "batches" -> (doneBatches + batchId).toSeq.sorted.mkString(";")))
+  }
+
   /** Watermarked tumbling-window fetch metrics: events(ts, host, fetched,
     * bytes) → per-window per-host counts. Late data beyond the watermark is
     * dropped — at 10^10 URLs the state store must stay bounded.

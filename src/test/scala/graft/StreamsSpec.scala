@@ -296,6 +296,45 @@ class StreamsSpec extends SparkSpec {
     assert(streamSeen === expected)
   }
 
+  test("corpus ingest: kill-and-resume exactly-once, history dedup, replayed batch no-op") {
+    val goodEn = "the quick brown fox jumps over a lazy dog and it was quite fast for sure"
+    val goodEn2 = "some other wonderful words in the long sentence that it was telling us about that day"
+    val docDir = java.nio.file.Files.createTempDirectory("corpus-docs").toString
+    val streamCkpt = java.nio.file.Files.createTempDirectory("corpus-ckpt").toString
+    val storeDir = java.nio.file.Files.createTempDirectory("corpus-store").toString
+    def jsonl(rows: (String, Long, String)*): String = rows.map { case (ts, id, tx) =>
+      s"""{"ts":"$ts","doc_id":$id,"text":"$tx"}"""
+    }.mkString("\n")
+    // file 1: one keeper, one too-short reject, one in-batch exact dup
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$docDir/f1.json"),
+      jsonl(("2026-01-01 10:00:00", 1L, goodEn),
+        ("2026-01-01 10:00:01", 2L, "one two"),
+        ("2026-01-01 10:00:02", 3L, goodEn)))
+    val q1 = Streams.corpusIngest(spark, docDir, streamCkpt, storeDir)
+    q1.processAllAvailable(); q1.stop() // "crash"
+    // file 2: a cross-FILE duplicate (beyond the first batch — history
+    // dedup, not the watermark, must drop it) + one genuinely new doc
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$docDir/f2.json"),
+      jsonl(("2026-01-01 10:30:00", 4L, goodEn),
+        ("2026-01-01 10:30:01", 5L, goodEn2)))
+    val q2 = Streams.corpusIngest(spark, docDir, streamCkpt, storeDir)
+    q2.processAllAvailable(); q2.stop()
+    val store = new graft.checkpoint.SnapshotStore(storeDir)
+    val corpus = spark.read.parquet(
+      store.readCurrent().get._2("corpus").split(";").filter(_.nonEmpty).toIndexedSeq: _*)
+    val ids = corpus.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids === Seq(1L, 5L), s"corpus must hold exactly the unique keepers: $ids")
+    // verdict columns rode the pipeline into the store
+    assert(corpus.columns.toSet.contains("pred_lang"))
+    // replayed batch id (crash between store commit and stream checkpoint)
+    val v = store.currentVersion()
+    Streams.processDocBatch(
+      corpus.limit(1).withColumn("ts", current_timestamp()), 0L, storeDir)
+    assert(store.currentVersion() === v, "replayed batch must not commit again")
+  }
+
   test("seed ingest parses the frontier CSV dialect") {
     val raw = Seq(("GBP", "USD", "07/09/1995")).toDF("card_c", "trans_c", "date")
     val out = Streams.ingestSeeds(raw).as[(String, String, java.sql.Date)].head()
