@@ -64,6 +64,11 @@ object CrawlJob {
     * @param checkpointDir SnapshotStore root
     * @param roundSec   simulated wall-clock seconds per round (drives the
     *                   token-bucket budget)
+    * @param insertBatchRows reference-parity insert batching: when set,
+    *                   every committed rates file holds at most this many
+    *                   rows (the reference pipeline inserts in 100-row
+    *                   batches, pipelines.py) — a compat knob, NOT the
+    *                   scale default (round-delta commits)
     * @param allowedDomains offsite filter (Scrapy OffsiteMiddleware /
     *                   `allowed_domains`, reference MCSpider.py:21): when
     *                   non-empty, frontier rows whose host is neither a
@@ -86,6 +91,7 @@ object CrawlJob {
       bloomParts: Int = 32,
       bloomCapacityPerPart: Long = 1L << 18,
       compactEvery: Int = 64,
+      insertBatchRows: Option[Int] = None,
       providers: Seq[graft.provider.Provider] = graft.provider.Providers.registry): (DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
     val store = new SnapshotStore(checkpointDir)
@@ -326,7 +332,19 @@ object CrawlJob {
       import scala.concurrent.ExecutionContext.Implicits.global
       def persist(name: String, df: DataFrame): Future[String] = Future {
         val p = store.dataPath(name, round)
-        df.write.mode("overwrite").parquet(p)
+        // reference-parity insert batching (§2#23, pipelines.py's 100-row
+        // executemany chunks): when enabled, each committed RATES file
+        // holds at most `insertBatchRows` rows — the storage-layer twin of
+        // the reference's batched inserts. Off by default: at 10^10 URLs
+        // the round delta is the right commit unit, and a literal 100-row
+        // chunking would explode the file count; the knob exists for
+        // byte-level compat, not as the scale path.
+        val w = insertBatchRows match {
+          case Some(n) if name == "rates" =>
+            df.write.option("maxRecordsPerFile", n.toLong)
+          case _ => df.write
+        }
+        w.mode("overwrite").parquet(p)
         p
       }
       // incremental Bloom maintenance rides the same concurrent write phase

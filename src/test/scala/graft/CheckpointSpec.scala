@@ -180,4 +180,40 @@ class CheckpointSpec extends SparkSpec {
     // lineage: every round's manifest is retained
     assert(store.versions() === (1 to store.currentVersion().get))
   }
+
+  test("insertBatchRows: every committed rates file holds at most N rows (reference 100-row insert parity)") {
+    import graft.crawl.CrawlJob
+    import graft.model.PolitenessConfig
+    import graft.synth.Synth
+    import graft.plan.Frontier
+    val currs = Frontier.currencyDim(spark, Seq("GBP", "USD", "EUR"))
+    val seeds = Frontier.candidates(currs, java.time.LocalDate.parse("1995-09-10"), 3)
+    val frontier = CrawlJob.expandSeeds(seeds, "Mastercard")
+    val pages = Synth.mcPages(seeds)
+    val robots = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL("host STRING, pathPrefix STRING, allow BOOLEAN"))
+    val dir = java.nio.file.Files.createTempDirectory("batch-rows").toString
+    val (rates, _, _) = CrawlJob.run(
+      spark, frontier, pages, robots, dir,
+      PolitenessConfig(maxGlobal = Int.MaxValue, maxPerHost = Int.MaxValue),
+      roundSec = 1e9, insertBatchRows = Some(3))
+    assert(rates.count() === 18L)
+    // read back the committed rates deltas and count rows per FILE
+    val store = new graft.checkpoint.SnapshotStore(dir)
+    val paths = store.readCurrent().get._2("rates").split(";").filter(_.nonEmpty).toIndexedSeq
+    val perFile = spark.read.parquet(paths: _*)
+      .groupBy(input_file_name()).count()
+      .select("count").as[Long].collect()
+    assert(perFile.nonEmpty && perFile.forall(_ <= 3L),
+      s"every rates file must hold <= 3 rows: ${perFile.toSeq}")
+    // default path unconstrained: a fresh run without the knob writes
+    // round-delta files that CAN exceed the batch size
+    val dir2 = java.nio.file.Files.createTempDirectory("batch-rows-off").toString
+    val (rates2, _, _) = CrawlJob.run(
+      spark, frontier, pages, robots, dir2,
+      PolitenessConfig(maxGlobal = Int.MaxValue, maxPerHost = Int.MaxValue),
+      roundSec = 1e9)
+    assert(rates2.count() === 18L)
+  }
 }
