@@ -600,8 +600,12 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
-      val storeDir = java.nio.file.Files.createTempDirectory("graft-ivf-model").toString
+      // ONE scratch dir keyed by the query, wiped per invocation — a fresh
+      // createTempDirectory here would leak one model dir per Verify/Bench run
+      val storeDir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft-ivf-model-q40").toString
       val store = new graft.checkpoint.SnapshotStore(storeDir)
+      store.dropAll()
       val trained = graft.ann.Ann.ivfCentroids(emb, nLists = 8)
       graft.ann.Ann.saveCentroids(trained, store, s)
       val loaded = graft.ann.Ann.loadCentroids(store, s)

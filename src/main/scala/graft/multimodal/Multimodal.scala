@@ -29,6 +29,9 @@ object Multimodal {
   final case class PnmImage(
       width: Int, height: Int, channels: Int, maxVal: Int, pixels: Array[Byte])
 
+  private def isPnmWs(c: Byte): Boolean =
+    c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f' || c == 0x0b
+
   /** REAL binary-Netpbm parser (P5/P6, 8-bit): full header grammar —
     * magic, whitespace runs, `#` comments to end-of-line, width/height/
     * maxval, then exactly ONE whitespace byte before the raster. Returns
@@ -48,7 +51,7 @@ object Multimodal {
       while (!done && pos < content.length) {
         val c = content(pos)
         if (c == '#') { while (pos < content.length && content(pos) != '\n') pos += 1 }
-        else if (c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f' || c == 0x0b) pos += 1
+        else if (isPnmWs(c)) pos += 1
         else done = true
       }
     }
@@ -66,7 +69,12 @@ object Multimodal {
     }
     val w = readInt(); val h = readInt(); val mx = readInt()
     if (w <= 0 || h <= 0 || mx <= 0 || mx > 255) return None
-    pos += 1 // exactly one whitespace byte separates maxval from the raster
+    // exactly one whitespace byte separates maxval from the raster — and it
+    // must actually BE whitespace: silently advancing past e.g. "255x" would
+    // misalign the whole raster instead of honoring the malformed → None
+    // contract
+    if (pos >= content.length || !isPnmWs(content(pos))) return None
+    pos += 1
     val need = w.toLong * h * channels
     if (need > Int.MaxValue || pos + need > content.length) return None
     Some(PnmImage(w, h, channels, mx,
@@ -375,11 +383,19 @@ object Multimodal {
       // real pipeline: val scaler = Scaler.init(targetWidth) — once per partition
       rows.map { r =>
         if (r.width <= targetWidth) r
-        else r.copy(
-          content = pnmResize(r.content, targetWidth)
-            .getOrElse(stubResize(r.content, r.width, targetWidth)),
-          width = targetWidth,
-          height = math.max(1, (r.height.toLong * targetWidth / math.max(r.width, 1)).toInt))
+        else pnmResize(r.content, targetWidth) match {
+          case Some(resized) =>
+            // metadata from the DECODED geometry of the emitted bytes, not
+            // the stub formula over the row metadata: if the row's stored
+            // width/height disagreed with the actual encoded dims, the
+            // formula would leave metadata and embedded PNM header diverged
+            val g = decodePnm(resized).get // just encoded by pnmResize — always parses
+            r.copy(content = resized, width = g.width, height = g.height)
+          case None => r.copy(
+            content = stubResize(r.content, r.width, targetWidth),
+            width = targetWidth,
+            height = math.max(1, (r.height.toLong * targetWidth / math.max(r.width, 1)).toInt))
+        }
       }
     }
   }

@@ -135,6 +135,16 @@ object Streams {
   /** One corpus micro-batch: anti-join against the accumulated store's
     * content identities, append the delta, ONE atomic commit carrying the
     * batch id. Idempotent per batch id.
+    *
+    * The md5 content identity is PERSISTED as a `__h` column in every
+    * corpus delta, and the history anti-join reads only that column —
+    * parquet column pruning never touches the text pages, so the per-batch
+    * history cost is O(accumulated 16-byte hashes), not O(accumulated
+    * text). (Re-hashing every prior file's text each micro-batch would grow
+    * per-batch work with the stream's whole lifetime — the 10^10-doc
+    * killer.) Deltas written before the column existed pay a one-time
+    * re-hash per batch until compacted; the per-file dispatch below keeps
+    * the fast path for every post-migration delta.
     */
   private[graft] def processDocBatch(
       batch: DataFrame, batchId: Long, storeDir: String): Unit = {
@@ -152,12 +162,15 @@ object Streams {
     val fresh =
       if (corpusPaths.isEmpty) hashed
       else hashed.join(
-        spark.read.parquet(corpusPaths: _*)
-          .select(md5(col("text").cast("binary")).as("__h")).distinct(),
+        corpusPaths.map { p =>
+          val delta = spark.read.parquet(p)
+          if (delta.columns.contains("__h")) delta.select("__h") // pruned scan
+          else delta.select(md5(col("text").cast("binary")).as("__h")) // legacy delta
+        }.reduce(_ unionAll _).distinct(),
         Seq("__h"), "left_anti")
     val version = resume.map(_._1).getOrElse(0) + 1
     val path = store.dataPath("corpus", version)
-    fresh.drop("__h").write.mode("overwrite").parquet(path)
+    fresh.write.mode("overwrite").parquet(path)
     store.commit(version, resume.map(_._2).getOrElse(Map.empty) ++ Map(
       "corpus" -> (corpusPaths :+ path).mkString(";"),
       "batches" -> (doneBatches + batchId).toSeq.sorted.mkString(";")))

@@ -175,6 +175,25 @@ class MultimodalSpec extends SparkSpec {
     assert(decodePnm("P6\n2 2\n255\nxx".getBytes) === None) // truncated raster
     assert(decodePnm("P6\n0 1\n255\n".getBytes) === None) // zero dimension
     assert(decodePnm("not an image at all".getBytes) === None)
+    // the byte after maxval must BE whitespace — a malformed header like
+    // "255x" must return None, never silently misalign the raster
+    assert(decodePnm(("P6\n2 1\n255x" + " " * 6).getBytes("US-ASCII")) === None)
+    assert(decodePnm("P5\n3 1\n255".getBytes("US-ASCII")) === None) // ends at maxval
+  }
+
+  test("resize: PNM metadata comes from the DECODED geometry, not the stub formula") {
+    import graft.multimodal.Multimodal
+    import graft.multimodal.Multimodal.{PnmImage, decodePnm, encodePnm}
+    // a real 8x6 P6 whose ROW metadata lies (claims 100x50): after resize the
+    // row metadata must agree with the embedded PNM header, not the formula
+    // over the lying metadata (which would say height = 50*4/100 = 2)
+    val px = Array.tabulate[Byte](8 * 6 * 3)(i => (i % 251).toByte)
+    val bytes = encodePnm(PnmImage(8, 6, 3, 255, px))
+    val rows = Seq(Multimodal.MediaRow(7L, "image", bytes, "image/x-portable-pixmap", 100, 50, 0))
+    val out = Multimodal.resize(spark.createDataset(rows), targetWidth = 4).collect().head
+    val g = decodePnm(out.content).get
+    assert((out.width, out.height) === ((g.width, g.height)))
+    assert((g.width, g.height) === ((4, 3))) // true geometry: 8x6 scaled to width 4
   }
 
   test("pnmResize: true pixel-grid nearest-neighbor, valid PNM out") {

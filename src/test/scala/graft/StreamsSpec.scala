@@ -328,11 +328,38 @@ class StreamsSpec extends SparkSpec {
     assert(ids === Seq(1L, 5L), s"corpus must hold exactly the unique keepers: $ids")
     // verdict columns rode the pipeline into the store
     assert(corpus.columns.toSet.contains("pred_lang"))
+    // the md5 content identity is PERSISTED per delta: the history anti-join
+    // reads only this column (parquet-pruned), so per-batch cost is
+    // O(accumulated hashes), never O(accumulated text)
+    assert(corpus.columns.toSet.contains("__h"))
+    assert(corpus.select("__h").as[String].collect().forall(_.length === 32))
     // replayed batch id (crash between store commit and stream checkpoint)
     val v = store.currentVersion()
     Streams.processDocBatch(
       corpus.limit(1).withColumn("ts", current_timestamp()), 0L, storeDir)
     assert(store.currentVersion() === v, "replayed batch must not commit again")
+  }
+
+  test("corpus ingest: pre-sidecar (legacy) deltas still dedup history via the per-file fallback") {
+    val goodEn = "the quick brown fox jumps over a lazy dog and it was quite fast for sure"
+    val storeDir = java.nio.file.Files.createTempDirectory("corpus-legacy").toString
+    val store = new graft.checkpoint.SnapshotStore(storeDir)
+    // hand-commit a LEGACY v1 delta: corpus rows WITHOUT the __h column
+    val legacyPath = store.dataPath("corpus", 1)
+    Seq((Timestamp.valueOf("2026-01-01 10:00:00"), 1L, goodEn))
+      .toDF("ts", "doc_id", "text").write.parquet(legacyPath)
+    store.commit(1, Map("corpus" -> legacyPath, "batches" -> "0"))
+    // a new batch re-sending the legacy text plus one new doc: the fallback
+    // re-hashes the legacy delta's text, so the duplicate must still drop
+    val batch = Seq(
+      (Timestamp.valueOf("2026-01-01 11:00:00"), 2L, goodEn),
+      (Timestamp.valueOf("2026-01-01 11:00:01"), 3L, goodEn + " extra"))
+      .toDF("ts", "doc_id", "text")
+    Streams.processDocBatch(batch, 1L, storeDir)
+    val paths = store.readCurrent().get._2("corpus").split(";").filter(_.nonEmpty).toIndexedSeq
+    val ids = paths.flatMap(p =>
+      spark.read.parquet(p).select("doc_id").as[Long].collect()).sorted
+    assert(ids === Seq(1L, 3L), s"legacy-history duplicate must be dropped: $ids")
   }
 
   test("seed ingest parses the frontier CSV dialect") {
