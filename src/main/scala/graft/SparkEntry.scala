@@ -614,6 +614,38 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "q45_ann_ivf_recall" -> ((s, dir) => {
+      // the PRODUCTION IVF shape under the gate: nProbe = 4 << nLists = 16
+      // (VERDICT r05 #1 — q35/q40 gate only the degenerate exhaustive
+      // probe). Emits per-query recall@5 of the partial-probe result vs the
+      // exact brute-force top-5. The centroid model is a fixed arithmetic
+      // formula (c[l][d] = ((37l + 17d) mod 101 − 50)/50 — distinct
+      // centroids for all l since 101 is prime > 37·15), NOT a trained one,
+      // precisely so the DuckDB oracle can reconstruct the ENTIRE partial-
+      // probe path — nearest-list assignment, 4-probe selection, bucket
+      // join, rounded-cosine ranking, recall — from the data alone at any
+      // SF. (Trained-centroid recall is not SQL-derivable — Lloyd's over
+      // the xxhash64-sampled train set has no DuckDB dual — and a golden
+      // recall VALUES list would be SF-dependent; training itself is
+      // already exactly gated by q35/q40, and the trained-model recall
+      // floor at this same 16/4 shape is spec-pinned in AnnSpec.)
+      val emb = t(s, dir, "embeddings")
+      val dim = emb.select(size(col("embedding"))).head.getInt(0)
+      val cents = Array.tabulate(16, dim)((l, d) => (((l * 37 + d * 17) % 101) - 50) / 50.0)
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      val ivf = graft.ann.Ann.ivfTopK(queries, emb, k = 5, nLists = 16, nProbe = 4,
+        centroids = Some(cents))
+        .select(col("query_id"), col("vec_id"), lit(1).as("__hit"))
+      val bf = graft.ann.Ann.bruteForceTopK(queries, emb, k = 5)
+        .select("query_id", "vec_id")
+      bf.join(ivf, Seq("query_id", "vec_id"), "left")
+        .groupBy("query_id")
+        .agg(count("__hit").as("n_hits"),
+          round(count("__hit") / lit(5.0), 4).as("recall"))
+        .orderBy("query_id")
+    }),
+
     "q41_neardup_verify" -> ((s, dir) => {
       // nearDupPairs' exact-Jaccard verification under a REAL cross-engine
       // gate (VERDICT r04 #2): one-token-edit copies of docs 0-2 (one
@@ -648,6 +680,28 @@ object SparkEntry {
         concat(col("text"), lit(" qz1 qz2 qz3 qz4 qz5 qz6 qz7 qz8")).as("text"))
       graft.dedup.DocDedup.fingerprintPairs(
         docs.unionByName(edited), hashKind = "md5", minShared = 3)
+        .filter(col("id_b") - col("id_a") === off)
+        .orderBy("id_a")
+    }),
+
+    "q46_fingerprint_pairs_poly" -> ((s, dir) => {
+      // the PRODUCTION "poly" rolling-hash family under the gate (VERDICT
+      // r05 #2 — q42 gates only the md5 family; poly ≡ md5 was spec-only).
+      // Same planted construction as q42, but n_shared is now the exact
+      // intersection of POLY fingerprint sets, and the DuckDB oracle
+      // recomputes the polynomial rolling hash itself: h(gram) =
+      // Σ code(c_j)·B^(8−j) mod 2^64 (B = 1000000007, HUGEINT arithmetic
+      // with precomputed B^j mod 2^64 constants — mathematically identical
+      // to the Scala kernel's wrapping-Long recurrence), reinterpreted as
+      // SIGNED 64-bit so the window-min selection compares exactly like
+      // Scala's Long ordering. ASCII corpus ⇒ charAt ≡ codepoint.
+      val off = 1L << 40
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val edited = docs.filter(col("doc_id") < 3).select(
+        (col("doc_id") + off).as("doc_id"),
+        concat(col("text"), lit(" qz1 qz2 qz3 qz4 qz5 qz6 qz7 qz8")).as("text"))
+      graft.dedup.DocDedup.fingerprintPairs(
+        docs.unionByName(edited), hashKind = "poly", minShared = 3)
         .filter(col("id_b") - col("id_a") === off)
         .orderBy("id_a")
     }),
@@ -1060,6 +1114,46 @@ object SparkEntry {
           ORDER BY id_a"""
     },
 
+    "q46_fingerprint_pairs_poly" -> {
+      // the polynomial rolling hash recomputed by an independent engine:
+      // Scala's wrapping-Long recurrence computes exactly
+      // h(gram) = Σ_j code(c_j)·B^(8−j) (mod 2^64), so the oracle evaluates
+      // that closed form directly in HUGEINT with the B^j mod 2^64 constants
+      // below (computed here by the same wrapping multiplication), reduces
+      // mod 2^64, and reinterprets as SIGNED 64-bit (BIGINT) so list_min
+      // compares exactly like the kernel's signed-Long window minima. The
+      // selection/intersection machinery is q42's, over the poly family.
+      val off = 1L << 40
+      val B = 1000000007L
+      val pows = Iterator.iterate(1L)(_ * B).take(9).toArray // B^j mod 2^64
+      def u(l: Long): String = java.lang.Long.toUnsignedString(l)
+      def hsSql(t: String): String = {
+        val terms = (0 until 9).map { j =>
+          s"unicode(substr($t, CAST(i AS INT)+${j + 1}, 1))::HUGEINT * ${u(pows(8 - j))}::HUGEINT"
+        }.mkString("\n                      + ")
+        s"""CASE WHEN length($t) < 9 THEN CAST([] AS BIGINT[])
+            ELSE list_transform(list_transform(range(length($t)-9+1),
+                 i -> ($terms) % 18446744073709551616::HUGEINT),
+                 v -> CAST(CASE WHEN v >= 9223372036854775808::HUGEINT
+                           THEN v - 18446744073709551616::HUGEINT ELSE v END AS BIGINT)) END"""
+      }
+      def selSql(hs: String): String =
+        s"""CASE WHEN len($hs) = 0 THEN CAST([] AS BIGINT[])
+            WHEN len($hs) < 16 THEN [list_min($hs)]
+            ELSE list_transform(range(len($hs)-15),
+                 w -> list_min(list_slice($hs, CAST(w AS INT)+1, CAST(w AS INT)+16))) END"""
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 3),
+          pairs AS (SELECT doc_id AS id_a, CAST(doc_id + $off AS BIGINT) AS id_b,
+                           text AS ta, text || ' qz1 qz2 qz3 qz4 qz5 qz6 qz7 qz8' AS tb FROM d),
+          h AS (SELECT id_a, id_b, ${hsSql("ta")} AS ha, ${hsSql("tb")} AS hb FROM pairs),
+          sel AS (SELECT id_a, id_b, ${selSql("ha")} AS sa, ${selSql("hb")} AS sb FROM h),
+          fp AS (SELECT id_a, id_b, list_distinct(sa) AS fa, list_distinct(sb) AS fb FROM sel)
+          SELECT id_a, id_b,
+            CAST(len(list_filter(fa, x -> list_contains(fb, x))) AS INT) AS n_shared
+          FROM fp WHERE len(list_filter(fa, x -> list_contains(fb, x))) >= 3
+          ORDER BY id_a"""
+    },
+
     "q43_dedup_substring_closure" ->
       // golden crafted-corpus closure: uppercase copy roots at 0 (minhash-
       // only), substring-embedded copy roots at 1 (fingerprint-only),
@@ -1083,6 +1177,51 @@ object SparkEntry {
              + 0.114 * ((doc_id * 7 + (3 * p + 2) * 13) % 256)))
              / 48.0, 4) AS mean_luma
          FROM documents ORDER BY media_id""",
+
+    "q45_ann_ivf_recall" ->
+      // FULL partial-probe recomputation: the oracle rebuilds the formula
+      // centroid model, assigns every corpus vector to its nearest list
+      // (squared L2, ties → lowest list — Spark's argmin-first rule),
+      // selects each query's 4 nearest lists, ranks the bucket-joined
+      // candidates by rounded cosine, and derives recall@5 against its own
+      // brute-force top-5 — the whole deployed IVF query path cross-engine
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         cents AS (SELECT l, list_transform(range((SELECT len(emb) FROM e LIMIT 1)),
+                     j -> CAST((CAST(l AS INT) * 37 + CAST(j AS INT) * 17) % 101 - 50 AS DOUBLE) / 50.0) AS cvec
+                   FROM range(16) t(l)),
+         ed AS (SELECT vec_id, emb, l,
+                  list_sum(list_transform(range(len(emb)), j ->
+                    (emb[CAST(j AS INT)+1] - cvec[CAST(j AS INT)+1])
+                    * (emb[CAST(j AS INT)+1] - cvec[CAST(j AS INT)+1]))) AS dsq
+                FROM e CROSS JOIN cents),
+         assigned AS (SELECT vec_id, emb, l FROM (
+                  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dsq, l) AS rn FROM ed)
+                WHERE rn = 1),
+         q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 8),
+         qd AS (SELECT query_id, qe, l,
+                  list_sum(list_transform(range(len(qe)), j ->
+                    (qe[CAST(j AS INT)+1] - cvec[CAST(j AS INT)+1])
+                    * (qe[CAST(j AS INT)+1] - cvec[CAST(j AS INT)+1]))) AS dsq
+                FROM q CROSS JOIN cents),
+         probes AS (SELECT query_id, qe, l FROM (
+                  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dsq, l) AS rn FROM qd)
+                WHERE rn <= 4),
+         ivf AS (SELECT query_id, vec_id FROM (
+                  SELECT p.query_id, a.vec_id,
+                         row_number() OVER (PARTITION BY p.query_id
+                           ORDER BY round(list_cosine_similarity(p.qe, a.emb), 6) DESC, a.vec_id) AS rank
+                  FROM probes p JOIN assigned a ON a.l = p.l)
+                WHERE rank <= 5),
+         bf AS (SELECT query_id, vec_id FROM (
+                  SELECT q.query_id, e.vec_id,
+                         row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY round(list_cosine_similarity(q.qe, e.emb), 6) DESC, e.vec_id) AS rank
+                  FROM e CROSS JOIN q)
+                WHERE rank <= 5)
+         SELECT b.query_id, count(v.vec_id) AS n_hits,
+                round(count(v.vec_id) / 5.0, 4) AS recall
+         FROM bf b LEFT JOIN ivf v ON v.query_id = b.query_id AND v.vec_id = b.vec_id
+         GROUP BY b.query_id ORDER BY b.query_id""",
 
     "q41_neardup_verify" -> {
       // full shingle-set + exact-Jaccard recomputation for the planted

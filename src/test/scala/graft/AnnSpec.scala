@@ -94,6 +94,29 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("ivf: PRODUCTION shape (nProbe << nLists) — trained-model recall floor vs brute force") {
+    // the deployed configuration (q45's comment explains why this half —
+    // TRAINED centroids at partial probe — is spec-gated rather than
+    // DuckDB-gated: Lloyd's has no SQL dual). 200 deterministic vectors
+    // with mild cluster structure; training is deterministic, so the
+    // recall is an exact property of this corpus, asserted as a floor.
+    val big = (0 until 200).map { i =>
+      val v = Array.tabulate(8)(d => ((((i * 31 + d * 17) % 29) - 14) / 14.0f))
+      v(i % 8) += 2.0f
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val qs = big.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val cents = Ann.ivfCentroids(big, nLists = 16)
+    val ivf = Ann.ivfTopK(qs, big, k = 5, nLists = 16, nProbe = 4, centroids = Some(cents))
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val bf = Ann.bruteForceTopK(qs, big, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(bf.size === 30) // 6 queries x k=5
+    val recall = bf.count(ivf.contains).toDouble / bf.size
+    assert(recall >= 0.6, s"production-shape (16 lists / 4 probes) recall@5 too low: $recall")
+  }
+
   test("ivf: more lists than distinct vectors — empty lists keep centroids, search still works") {
     val tiny = corpus.limit(3)
     val cents = Ann.ivfCentroids(tiny, nLists = 8, trainSample = 100)
