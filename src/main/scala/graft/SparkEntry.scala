@@ -371,11 +371,18 @@ object SparkEntry {
     // ---- formerly rows-only entries, now under the DuckDB gate ----------
     "q26_doc_langid" -> ((s, dir) => {
       import graft.functions.TextFns
-      // same boundary reasoning as q23 — 4 profile lambdas share one array
+      // same boundary reasoning as q23 — the profile lambdas share one
+      // array. Round 6: runs the WIDE 12-profile model, so the O(L)
+      // plan-size rewrite (one array_max, zero second references —
+      // TextFns.langIdFromTokens scaladoc) is exercised under the driver
+      // gate at a realistic profile count; the oracle below is GENERATED
+      // from the same profile data, so it tracks automatically
       t(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
           TextFns.loweredTokens(col("text")).as("__ltk"))
-        .select(col("doc_id"), TextFns.langIdFromTokens(col("__ltk")).as("pred_lang"), col("lang"))
+        .select(col("doc_id"),
+          TextFns.langIdFromTokens(col("__ltk"), TextFns.LangProfilesWide).as("pred_lang"),
+          col("lang"))
         .orderBy("doc_id")
     }),
 
@@ -998,9 +1005,10 @@ object SparkEntry {
 
     // q26: the DuckDB oracle re-derives the stopword-ratio scores and the
     // argmax (ties → first profile, all-zero → 'und') from the same public
-    // stopword lists; the CASE chain is equivalent to langId's strict-> fold
+    // stopword lists — GENERATED from the 12-profile wide model the query
+    // runs, so query and oracle can never disagree on the profile data
     "q26_doc_langid" -> {
-      val profiles = graft.functions.TextFns.LangProfiles
+      val profiles = graft.functions.TextFns.LangProfilesWide
       val langs = profiles.map(_._1)
       val scores = profiles.map { case (lang, words) =>
         val list = words.map(w => s"'$w'").mkString(", ")

@@ -99,9 +99,7 @@ object DocDedup {
     java.util.Collections.newSetFromMap(
       new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
 
-  private[graft] def withDroppedObserver(
-      op: String, ranked: DataFrame, rnCol: String, maxBucket: Int): DataFrame = {
-    val spark = ranked.sparkSession
+  private def registerObserverListener(spark: org.apache.spark.sql.SparkSession): Unit = {
     if (listenerRegistered.add(spark)) {
       spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
         override def onSuccess(funcName: String,
@@ -110,14 +108,37 @@ object DocDedup {
             if (name.startsWith("graft.dropped.") && !row.isNullAt(0) && row.getLong(0) > 0)
               System.err.println(s"[graft] ${name.stripPrefix("graft.dropped.").takeWhile(_ != '#')}: " +
                 s"bucket cap dropped ${row.getLong(0)} candidate rows (coverage loss)")
+            else if (name.startsWith("graft.hotkey.") && !row.isNullAt(0) && row.getLong(0) > 0)
+              System.err.println(s"[graft] ${name.stripPrefix("graft.hotkey.").takeWhile(_ != '#')}: " +
+                s"${row.getLong(0)} rows ranked past the hot-key bound in one window " +
+                s"partition (a dominating key funnels them into a single task)")
           }
         override def onFailure(funcName: String,
             qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
       })
     }
+  }
+
+  private[graft] def withDroppedObserver(
+      op: String, ranked: DataFrame, rnCol: String, maxBucket: Int): DataFrame = {
+    registerObserverListener(ranked.sparkSession)
     ranked.observe(
       s"graft.dropped.$op#${obsId.incrementAndGet()}",
       coalesce(sum(when(col(rnCol) > maxBucket, 1L).otherwise(0L)), lit(0L)).as("dropped"))
+  }
+
+  /** Observe (never drop) rows ranked past `warnAt` within one window
+    * partition — the skew dual of [[withDroppedObserver]]: a per-key window
+    * is correct at any key size, but a key owning a large fraction of all
+    * rows funnels them into ONE task. The count rides the same job that
+    * executes the window (zero extra passes), printed when nonzero.
+    */
+  private[graft] def withHotKeyObserver(
+      op: String, ranked: DataFrame, rnCol: String, warnAt: Int): DataFrame = {
+    registerObserverListener(ranked.sparkSession)
+    ranked.observe(
+      s"graft.hotkey.$op#${obsId.incrementAndGet()}",
+      coalesce(sum(when(col(rnCol) > warnAt, 1L).otherwise(0L)), lit(0L)).as("hot"))
   }
 
   /** Largest `maxBucket` the collect-then-flatten pair shape may serve:

@@ -48,6 +48,25 @@ object TextFns {
     "fr" -> Seq("le", "la", "les", "de", "des", "et", "est", "un", "une", "du", "dans", "que", "pour", "pas", "sur"),
     "es" -> Seq("el", "la", "los", "las", "de", "y", "es", "un", "una", "del", "en", "que", "por", "para", "con"))
 
+  /** A WIDER 12-language public stopword model — [[LangProfiles]] plus
+    * eight more common-word lists. Used by the gated q26 so the O(L)
+    * plan-size contract runs under the DRIVER gate at a realistic profile
+    * count, not only in the TextFnsSpec plan assertion (which goes to 20);
+    * the 4-profile [[LangProfiles]] remains the engine default that
+    * [[qualitySignalsFromTokens]] and the Corpus verdict chain key on.
+    * Deliberately ASCII-only words so the Scala-embedded and SQL-embedded
+    * literals can never diverge by encoding.
+    */
+  val LangProfilesWide: Seq[(String, Seq[String])] = LangProfiles ++ Seq(
+    "it" -> Seq("il", "lo", "la", "le", "di", "che", "un", "una", "per", "non", "sono", "con", "del", "si", "come"),
+    "pt" -> Seq("o", "os", "as", "de", "que", "um", "uma", "do", "da", "em", "para", "com", "por", "mais", "se"),
+    "nl" -> Seq("de", "het", "een", "en", "van", "ik", "te", "dat", "die", "in", "je", "niet", "op", "aan", "met"),
+    "sv" -> Seq("och", "att", "det", "som", "en", "av", "den", "till", "med", "var", "om", "inte", "han", "hon", "ett"),
+    "da" -> Seq("og", "i", "jeg", "det", "at", "en", "den", "til", "er", "som", "de", "med", "han", "af", "hun"),
+    "no" -> Seq("og", "i", "jeg", "det", "at", "en", "et", "den", "til", "er", "som", "de", "med", "han", "av"),
+    "pl" -> Seq("i", "w", "nie", "na", "to", "z", "do", "jest", "ze", "sie", "co", "tak", "jak", "po", "ma"),
+    "tr" -> Seq("bir", "ve", "bu", "da", "de", "ne", "o", "icin", "gibi", "ama", "ben", "sen", "var", "yok", "cok"))
+
   def langScores(text: Column, profiles: Seq[(String, Seq[String])] = LangProfiles): Column =
     langScoresFromTokens(loweredTokens(text), profiles)
 

@@ -129,11 +129,24 @@ object Corpus {
     * window. Pair generation dominates end to end, exactly as in
     * `dedupCorpusFrom`.
     *
+    * Skew bound, stated explicitly (the maxBucket precedent): the survivor
+    * window partitions by cluster_id over ALL docs, so one PATHOLOGICAL
+    * cluster capturing a large fraction of the corpus (boilerplate swamping
+    * every generator) funnels that cluster's slim verdict rows into one
+    * window task — same hazard class as any per-key window, and far
+    * cheaper than the pair generation that would have had to emit such a
+    * cluster's edges first. It is never silent: clusters ranking past
+    * `hotClusterWarn` members are counted ON the same job
+    * ([[graft.dedup.DocDedup.withHotKeyObserver]]) and reported to stderr.
+    *
     * @param pairSources pair frames carrying `id_a`, `id_b` (extra columns
     *                    ignored) in the corpus id space — typically
     *                    `DocDedup.minhashPairs(docs)` /
     *                    `DocDedup.simhashPairs(docs)` /
     *                    `Ann.cosineNearDupPairs(embeddings)`
+    * @param hotClusterWarn cluster size past which members are counted and
+    *                    reported as window-task skew (observation only —
+    *                    results are identical at any setting)
     * @return (id, n_tokens, pred_lang, quality, cluster_id, reason, keep)
     *         for EVERY input doc; cluster_id = the doc's near-dup cluster
     *         root (its own id when unclustered)
@@ -146,7 +159,8 @@ object Corpus {
       keepLang: String = "en",
       minTokens: Int = 5,
       maxTokens: Int = 50000,
-      minQuality: Double = 0.75): DataFrame = {
+      minQuality: Double = 0.75,
+      hotClusterWarn: Int = 100000): DataFrame = {
     require(pairSources.nonEmpty, "cleanWithNearDup needs at least one pair source")
     val base = clean(docs, idCol, textCol, keepLang, minTokens, maxTokens, minQuality)
       .drop("keep") // recomputed after demotion
@@ -158,9 +172,12 @@ object Corpus {
     // kept-first then min id: rank 1 is the surviving member iff it is kept;
     // unclustered docs are singleton partitions and can never rank > 1
     val w = Window.partitionBy("cluster_id").orderBy(col("reason") =!= "kept", col("id"))
-    base.join(clusters, Seq("id"), "left")
-      .withColumn("cluster_id", coalesce(col("__cl"), col("id")))
-      .withColumn("__rn", row_number().over(w))
+    graft.dedup.DocDedup.withHotKeyObserver(
+      "cleanWithNearDup.cluster",
+      base.join(clusters, Seq("id"), "left")
+        .withColumn("cluster_id", coalesce(col("__cl"), col("id")))
+        .withColumn("__rn", row_number().over(w)),
+      "__rn", hotClusterWarn)
       .select(
         col("id"), col("n_tokens"), col("pred_lang"), col("quality"),
         col("cluster_id"),

@@ -120,4 +120,39 @@ class CorpusSpec extends SparkSpec {
     assert(out === Seq(
       (1L, 1L, "kept"), (2L, 1L, "near_duplicate"), (3L, 1L, "near_duplicate")))
   }
+
+  test("cleanWithNearDup: one DOMINATING cluster — correct results, skew observed on-job") {
+    // 60 of 62 docs form ONE near-dup cluster (the documented window-skew
+    // hazard: they all funnel into a single window task). Results must be
+    // exactly right regardless, and the hot-key observer must count the
+    // members ranked past the warn bound on the SAME job.
+    import scala.jdk.CollectionConverters._
+    val metrics = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.startsWith("graft.hotkey.cleanWithNearDup")) metrics.add(row.getLong(0))
+        }
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val docs = ((0 until 60).map(i => (i.toLong, goodEn + s" variant$i")) ++
+        Seq((100L, goodEn2), (101L, "c d"))).toDF("doc_id", "text")
+      val chain = (0 until 59).map(i => (i.toLong, i.toLong + 1)).toDF("id_a", "id_b")
+      val out = Corpus.cleanWithNearDup(docs, Seq(chain), hotClusterWarn = 10)
+        .select("id", "cluster_id", "reason")
+        .as[(Long, Long, String)].collect()
+      val inCluster = out.filter(_._1 < 60)
+      assert(inCluster.forall(_._2 === 0L), "all 60 members resolve to root 0")
+      assert(inCluster.count(_._3 == "kept") === 1)
+      assert(inCluster.filter(_._1 > 0).forall(_._3 === "near_duplicate"))
+      assert(out.find(_._1 === 100L).get._3 === "kept") // singleton untouched
+      // 60-member cluster, warn bound 10 -> 50 rows ranked past it
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (metrics.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(metrics.asScala.exists(_ === 50L),
+        s"expected 50 hot-cluster rows observed, got ${metrics.asScala.toList}")
+    } finally spark.listenerManager.unregister(listener)
+  }
 }
