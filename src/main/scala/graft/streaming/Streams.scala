@@ -118,7 +118,8 @@ object Streams {
       keepLang: String = "en",
       minTokens: Int = 5,
       maxTokens: Int = 50000,
-      minQuality: Double = 0.75): org.apache.spark.sql.streaming.StreamingQuery = {
+      minQuality: Double = 0.75,
+      compactEvery: Int = 64): org.apache.spark.sql.streaming.StreamingQuery = {
     val raw = spark.readStream
       .schema("ts TIMESTAMP, doc_id LONG, text STRING")
       .json(docDir)
@@ -127,7 +128,7 @@ object Streams {
       .writeStream
       .option("checkpointLocation", streamCheckpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        processDocBatch(batch.toDF(), batchId, storeDir)
+        processDocBatch(batch.toDF(), batchId, storeDir, compactEvery)
       }
       .start()
   }
@@ -147,7 +148,8 @@ object Streams {
     * the fast path for every post-migration delta.
     */
   private[graft] def processDocBatch(
-      batch: DataFrame, batchId: Long, storeDir: String): Unit = {
+      batch: DataFrame, batchId: Long, storeDir: String,
+      compactEvery: Int = 64): Unit = {
     val spark = batch.sparkSession
     val store = new graft.checkpoint.SnapshotStore(storeDir)
     val resume = store.readCurrent()
@@ -171,8 +173,28 @@ object Streams {
     val version = resume.map(_._1).getOrElse(0) + 1
     val path = store.dataPath("corpus", version)
     fresh.write.mode("overwrite").parquet(path)
+    var allPaths = corpusPaths :+ path
+    // periodic delta-chain compaction — the CrawlJob pattern (Iceberg
+    // rewrite-data-files analogue): once the manifest carries compactEvery
+    // delta paths, rewrite the chain as ONE fileset — a long-lived stream
+    // would otherwise re-list/reopen thousands of delta files per batch
+    // (and union as many per-file scans into the anti-join plan).
+    // Amortized O(total/compactEvery) per batch; old files stay on disk
+    // (prior snapshots remain readable); a crash before the commit leaves
+    // the previous manifest pointing at the uncompacted chain. Doubles as
+    // the LEGACY MIGRATION point: pre-sidecar deltas gain the __h column
+    // here, after which every history read takes the pruned fast path.
+    if (compactEvery > 0 && allPaths.size >= compactEvery) {
+      val p = store.dataPath("corpus-compacted", version)
+      allPaths.map { q =>
+        val d = spark.read.parquet(q)
+        if (d.columns.contains("__h")) d
+        else d.withColumn("__h", md5(col("text").cast("binary")))
+      }.reduce(_ unionByName _).write.mode("overwrite").parquet(p)
+      allPaths = Seq(p)
+    }
     store.commit(version, resume.map(_._2).getOrElse(Map.empty) ++ Map(
-      "corpus" -> (corpusPaths :+ path).mkString(";"),
+      "corpus" -> allPaths.mkString(";"),
       "batches" -> (doneBatches + batchId).toSeq.sorted.mkString(";")))
   }
 

@@ -340,6 +340,36 @@ class StreamsSpec extends SparkSpec {
     assert(store.currentVersion() === v, "replayed batch must not commit again")
   }
 
+  test("corpus ingest: delta-chain compaction bounds the manifest and migrates legacy deltas") {
+    val goodEn = "the quick brown fox jumps over a lazy dog and it was quite fast for sure"
+    val storeDir = java.nio.file.Files.createTempDirectory("corpus-compact").toString
+    val store = new graft.checkpoint.SnapshotStore(storeDir)
+    // a LEGACY v1 delta without __h, then two batches with compactEvery=3:
+    // the third chain entry triggers compaction into ONE path, the legacy
+    // rows gain __h (migration point), and history dedup still holds after
+    val legacyPath = store.dataPath("corpus", 1)
+    Seq((Timestamp.valueOf("2026-01-01 09:00:00"), 1L, goodEn))
+      .toDF("ts", "doc_id", "text").write.parquet(legacyPath)
+    store.commit(1, Map("corpus" -> legacyPath, "batches" -> "0"))
+    def batch(id: Long, text: String, t: String) =
+      Seq((Timestamp.valueOf(t), id, text)).toDF("ts", "doc_id", "text")
+    Streams.processDocBatch(batch(2L, goodEn + " two", "2026-01-01 10:00:00"), 1L, storeDir, compactEvery = 3)
+    Streams.processDocBatch(batch(3L, goodEn + " three", "2026-01-01 11:00:00"), 2L, storeDir, compactEvery = 3)
+    val paths = store.readCurrent().get._2("corpus").split(";").filter(_.nonEmpty).toIndexedSeq
+    assert(paths.size === 1, s"3-delta chain must compact to one path: $paths")
+    assert(paths.head.contains("corpus-compacted"))
+    val compacted = spark.read.parquet(paths.head)
+    assert(compacted.select("doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
+    assert(compacted.columns.contains("__h"))
+    assert(compacted.select("__h").as[String].collect().forall(h => h != null && h.length === 32),
+      "legacy rows must gain a real __h during compaction")
+    // post-compaction history dedup: the legacy doc's text re-sent must drop
+    Streams.processDocBatch(batch(4L, goodEn, "2026-01-01 12:00:00"), 3L, storeDir, compactEvery = 3)
+    val ids = store.readCurrent().get._2("corpus").split(";").filter(_.nonEmpty).toIndexedSeq
+      .flatMap(p => spark.read.parquet(p).select("doc_id").as[Long].collect()).sorted
+    assert(ids === Seq(1L, 2L, 3L), s"duplicate of a compacted legacy doc must drop: $ids")
+  }
+
   test("corpus ingest: pre-sidecar (legacy) deltas still dedup history via the per-file fallback") {
     val goodEn = "the quick brown fox jumps over a lazy dog and it was quite fast for sure"
     val storeDir = java.nio.file.Files.createTempDirectory("corpus-legacy").toString
