@@ -27,7 +27,16 @@ object Bench {
     // recorded in an "errors" map, printed to stderr, and the run exits
     // nonzero after emitting the JSON line — a broken query must fail the bench.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q47,q48 times just the named queries (prefix
+    // match) and skips the crawl — for pinning NEW queries without a full
+    // run; the driver's per-round bench never sets it.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = only match {
+      case Some(pfx) => SparkEntry.queries.toSeq.filter { case (n, _) => pfx.exists(n.startsWith) }
+      case None => SparkEntry.queries.toSeq
+    }
+    val results = selected.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         // materialize through the noop sink, NOT count(): under count()
@@ -47,7 +56,7 @@ object Bench {
     }
     // crawl throughput: 120k-URL synthetic frontier, full rounds (the
     // BASELINE.json headline metric; ScalingBench measures N vs 4N)
-    val (crawlUrls, crawlSec) = {
+    val (crawlUrls, crawlSec) = if (only.isDefined) (0L, -1.0) else {
       val nUrls = sys.env.getOrElse("SPARK_GRAFT_BENCH_CRAWL_URLS", "120000").toLong
       val frontier = synth.BenchWorkload.frontier(spark, nUrls, 512, 100)
       val pages = synth.BenchWorkload.pages(frontier)
@@ -64,7 +73,9 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       (n, sec)
     }
-    val all = results :+ (s"crawl_${crawlUrls}_urls" -> crawlSec)
+    val all =
+      if (only.isDefined) results
+      else results :+ (s"crawl_${crawlUrls}_urls" -> crawlSec)
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = all.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
@@ -97,7 +108,9 @@ object Bench {
     val pins = QueryBaseline.load(pinFile, sfDir)
     if (java.nio.file.Files.exists(pinFile) && pins.isEmpty)
       System.err.println(s"[bench] WARNING: regression gate DISARMED — $pinFile has no pins for sf dir '$sfDir'")
-    val orphaned = (pins.keySet -- all.map(_._1).toSet).toSeq.sorted
+    val orphaned =
+      if (only.isDefined) Seq.empty // subset run: unselected pins aren't orphans
+      else (pins.keySet -- all.map(_._1).toSet).toSeq.sorted
     orphaned.foreach(k => System.err.println(
       s"[bench] WARNING: pinned query '$k' produced no timing this run (renamed or removed?) — its regression check did not happen"))
     val regs = QueryBaseline.regressions(all, pins)

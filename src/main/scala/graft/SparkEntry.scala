@@ -751,6 +751,27 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "q47_pii_redact" -> ((s, dir) => {
+      // PII-style scrubbing under the gate: the full redaction cascade
+      // (URL → email → IPv4 → phone, TextFns.RedactionPatterns) runs over
+      // the corpus plus three planted PII-dense docs, and the DuckDB
+      // oracle recomputes the SAME cascade with RE2 — the patterns are
+      // deliberately in the Java∩RE2-identical subset, and this query is
+      // the proof that they stay there (a pattern drifting into
+      // engine-specific semantics hash-mismatches on the planted rows).
+      // Real docs pass through mostly untouched — that no-op parity is
+      // itself part of the gate (false-positive redactions would differ).
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val planted = {
+        import s.implicits._
+        piiFixture.toDF("doc_id", "text")
+      }
+      docs.unionByName(planted)
+        .select(col("doc_id"),
+          graft.functions.TextFns.redact(col("text")).as("red"))
+        .orderBy("doc_id")
+    }),
+
     "q44_ppm_decode" -> ((s, dir) => {
       // the REAL image-decode path under the gate: valid binary-P6 bytes
       // (8×6 RGB, pixel byte i = (doc_id·7 + i·13) mod 256) are built per
@@ -1172,6 +1193,23 @@ object SparkEntry {
            (1099511627777, 0, false), (1099511627778, 1, false))
          t(id, cluster_id, keep) ORDER BY id""",
 
+    "q47_pii_redact" -> {
+      // the redaction cascade regenerated from the SAME pattern data the
+      // query uses (the q26 technique) — RE2 'g' replace per pattern, in
+      // order, over documents ∪ the shared planted PII fixture
+      val plantedSql = piiFixture
+        .map { case (id, t) => s"(CAST($id AS BIGINT), '${t.replace("'", "''")}')" }
+        .mkString(", ")
+      val cascade = graft.functions.TextFns.RedactionPatterns.foldLeft("text") {
+        case (inner, (pat, repl)) =>
+          s"regexp_replace($inner, '${pat.replace("'", "''")}', '$repl', 'g')"
+      }
+      s"""WITH all_docs(doc_id, text) AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL SELECT * FROM (VALUES $plantedSql) p(doc_id, text))
+          SELECT doc_id, $cascade AS red FROM all_docs ORDER BY doc_id"""
+    },
+
     "q44_ppm_decode" ->
       // analytic recomputation of the P6 fixture: pixel byte i =
       // (doc_id·7 + i·13) mod 256, luma = Rec.601 over the 48 pixels —
@@ -1403,6 +1441,21 @@ object SparkEntry {
            SELECT 'except' AS op, custkey FROM (SELECT DISTINCT custkey FROM big EXCEPT SELECT custkey FROM mach))
          SELECT op, count(*) AS n, CAST(sum(custkey) AS BIGINT) AS key_sum
          FROM ops GROUP BY op ORDER BY op""")
+
+  /** Planted PII-dense docs shared by the q47 query and its oracle — the
+    * tricky cases on purpose: an email inside a URL-free clause, two IPs in
+    * one row, a leading digit ahead of a phone match ("0800 123 4567"
+    * redacts to "0<PHONE>" under leftmost-first semantics in BOTH engines),
+    * and a 5-octet run where only the first four redact ("1.2.3.4.5" →
+    * "<IP>.5").
+    */
+  private val piiFixture: Seq[(Long, String)] = {
+    val off = 1L << 40
+    Seq(
+      (off + 1, "contact john.doe+spam@example-mail.co.uk or visit https://example.com/a?b=1#f today"),
+      (off + 2, "server at 192.168.1.254 answered while 10.0.0.7 timed out call +1 415 555 0100 now"),
+      (off + 3, "mail a@b.io and c_d%e@f-g.org via http://x.y/z 127.0.0.1 0800 123 4567 and 1.2.3.4.5 end"))
+  }
 
   /** The composed-cleanup verdict-chain CTEs shared by the q38/q39 oracles.
     * Expects an `all_docs(doc_id, text)` CTE to precede it; yields `ranked`

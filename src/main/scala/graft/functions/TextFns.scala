@@ -182,6 +182,109 @@ object TextFns {
     round(checks.map(c => when(c, 1.0).otherwise(0.0)).reduce(_ + _) / checks.size, 4)
   }
 
+  // ------------------------------------------------------------ repetition
+
+  /** Space-joined word n-grams over an already-materialized token array —
+    * empty array when the doc has fewer than n tokens. Same
+    * materialization-boundary contract as [[langScoresFromTokens]]: `toks`
+    * is referenced from a lambda, so callers must pass a projected column,
+    * not an inline `tokens(text)` tree (SPARK-35410 would re-split per
+    * reference).
+    */
+  def ngrams(toks: Column, n: Int): Column = {
+    require(n > 0, "n must be positive")
+    when(size(toks) < n, typedLit(Array.empty[String]))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Gopher-style repetition/format signals (Rae et al. 2021 §A1.1, the
+    * standard pretraining repetition filters), re-expressed as one pure
+    * Column struct:
+    *  - dup_line_frac / dup_line_char_frac — fraction of lines (and of
+    *    line characters) that repeat an EARLIER line verbatim
+    *  - bullet_line_frac / ellipsis_line_frac — lines starting with a
+    *    bullet ("- ", "* ") / ending with "..." after trimming
+    *  - symbol_word_ratio — '#' and "..." occurrences per token
+    *  - top_bigram_char_frac — characters covered by the most frequent
+    *    word bigram (count × bigram length / doc length); ties break to
+    *    the lexicographically LARGER bigram (array_max struct order)
+    *
+    * All row-local, no shuffle. Per-row cost bounds (documented, Gopher
+    * computes the same quantities hashmap-style): the dup-line scan is
+    * O(lines²) via array_position and the top-bigram scan O(distinct ×
+    * total) bigrams — fine for web documents (10²-10³ lines/tokens); a
+    * corpus of pathological million-line docs should pre-truncate, the
+    * same contract as the signature kernels. Callers pass MATERIALIZED
+    * `toks` and `lines` columns through a projection boundary (the
+    * [[loweredTokens]] rule — every signal references them from lambdas).
+    */
+  def repetitionSignals(text: Column, toks: Column, lines: Column): Column = {
+    val nLines = greatest(size(lines), lit(1)).cast("double")
+    val nChars = greatest(length(text), lit(1)).cast("double")
+    val nTok = greatest(size(toks), lit(1)).cast("double")
+    // line i (0-based lambda index) repeats an earlier line iff its FIRST
+    // occurrence (1-based array_position) sits strictly before i+1
+    val dupLineCount = size(filter(lines, (l, i) => array_position(lines, l) < i + 1))
+    val dupLineChars = aggregate(
+      transform(lines, (l, i) =>
+        when(array_position(lines, l) < i + 1, length(l)).otherwise(lit(0))),
+      lit(0), _ + _)
+    val bulletCount = size(filter(lines,
+      l => ltrim(l).startsWith("- ") || ltrim(l).startsWith("* ")))
+    val ellipsisCount = size(filter(lines, l => rtrim(l).endsWith("...")))
+    val hashCount = length(text) - length(regexp_replace(text, "#", ""))
+    val ellipsisOcc = (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
+    val bg = ngrams(toks, 2)
+    // argmax by (count, bigram) struct order — the q26 single-reference
+    // array_max shape; each distinct bigram counted once. The winner is
+    // then BOUND once via a single-element aggregate before its two fields
+    // are read: `top.getField("c") * length(top.getField("g"))` would
+    // evaluate the whole lambda-bearing argmax tree twice per row, because
+    // subexpression elimination skips lambda-containing trees
+    // (SPARK-35410 — this repo's documented trap).
+    val top = array_max(transform(array_distinct(bg),
+      g => struct(size(filter(bg, b => b === g)).as("c"), g.as("g"))))
+    val topFrac = coalesce(
+      aggregate(array(top), lit(0.0),
+        (acc, w) => acc + w.getField("c") * length(w.getField("g")) / nChars),
+      lit(0.0))
+    struct(
+      round(dupLineCount / nLines, 4).as("dup_line_frac"),
+      round(dupLineChars / nChars, 4).as("dup_line_char_frac"),
+      round(bulletCount / nLines, 4).as("bullet_line_frac"),
+      round(ellipsisCount / nLines, 4).as("ellipsis_line_frac"),
+      round((hashCount + ellipsisOcc) / nTok, 4).as("symbol_word_ratio"),
+      round(least(topFrac, lit(1.0)), 4).as("top_bigram_char_frac"))
+  }
+
+  // ------------------------------------------------------------- redaction
+
+  /** PII-style scrubbing patterns (the C4/RefinedWeb-grade cleanup a
+    * pretraining pipeline runs before training): URLs, emails, IPv4
+    * addresses, phone-shaped number runs — each replaced by a typed
+    * placeholder token, applied IN ORDER (URL first, so an address inside
+    * a URL is already gone when the email pass runs). Deliberately
+    * restricted to the regex subset Java (Spark codegen'd regexp_replace)
+    * and RE2 (the DuckDB oracle) interpret identically: character classes,
+    * bounded repetition, \b, non-capturing groups — no lookarounds, no
+    * backreferences. Order and patterns are DATA (a deployment swaps its
+    * own), and the gated q47 recomputes the whole cascade cross-engine.
+    */
+  val RedactionPatterns: Seq[(String, String)] = Seq(
+    """https?://[^\s]+""" -> "<URL>",
+    """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""" -> "<EMAIL>",
+    """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b""" -> "<IP>",
+    """\+?\d{1,3}[ -]\d{3}[ -]\d{3,4}(?:[ -]\d{3,4})?""" -> "<PHONE>")
+
+  /** Apply the redaction cascade — one codegen'd `regexp_replace` per
+    * pattern, all occurrences, in sequence. Pure Column expression: at
+    * 100 TB this rides the same projection pass as the other row-local
+    * verdict kernels, no shuffle, no UDF.
+    */
+  def redact(text: Column, patterns: Seq[(String, String)] = RedactionPatterns): Column =
+    patterns.foldLeft(text) { case (c, (pat, repl)) => regexp_replace(c, pat, repl) }
+
   // ---------------------------------------------------------- fingerprint
 
   /** Winnowing document fingerprint: hash every character k-gram, slide a

@@ -86,4 +86,20 @@ class TextFnsSpec extends SparkSpec {
     // hello | world | 42 | x | - | y
     assert(out(0) === 6)
   }
+
+  test("redact: the PII cascade — ordering, tricky boundaries, clean text untouched") {
+    val rows = Seq(
+      (1, "contact john.doe+spam@example-mail.co.uk or visit https://example.com/a?b=1#f today"),
+      (2, "server at 192.168.1.254 answered while 10.0.0.7 timed out call +1 415 555 0100 now"),
+      (3, "plain words with no pii at all"),
+      // leftmost-first: the leading 0 survives ("0800 123 4567" -> 0<PHONE>);
+      // a 5-octet run redacts only its first four (1.2.3.4.5 -> <IP>.5)
+      (4, "w123 w4567 call 0800 123 4567 or 1.2.3.4.5 ok")).toDF("id", "t")
+    val out = rows.select(col("id"), TextFns.redact(col("t")).as("r"))
+      .as[(Int, String)].collect().sortBy(_._1).map(_._2)
+    assert(out(0) === "contact <EMAIL> or visit <URL> today")
+    assert(out(1) === "server at <IP> answered while <IP> timed out call <PHONE> now")
+    assert(out(2) === "plain words with no pii at all")
+    assert(out(3) === "w123 w4567 call 0<PHONE> or <IP>.5 ok")
+  }
 }
