@@ -772,6 +772,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q48_doc_repetition" -> ((s, dir) => {
+      // Gopher-style repetition/format signals (Rae et al. 2021 §A1.1)
+      // under the gate: dup-line fractions, bullet/ellipsis line
+      // fractions, symbol-word ratio, and top-bigram character coverage,
+      // each recomputed independently by the DuckDB oracle (unnest-based
+      // SQL, no shared code) over documents ∪ planted repetition-dense
+      // fixtures. Real docs are mostly single-line — their near-zero
+      // signals are the false-positive half of the gate, and their
+      // all-count-1 bigram argmaxes pin the cross-engine string-order
+      // tie-break. Tokens and lines cross ONE projection boundary: every
+      // signal references them from lambda bodies (SPARK-35410).
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val planted = {
+        import s.implicits._
+        repFixture.toDF("doc_id", "text")
+      }
+      docs.unionByName(planted)
+        .select(col("doc_id"), col("text"),
+          graft.functions.TextFns.tokens(col("text")).as("__tk"),
+          split(col("text"), "\n").as("__ln"))
+        .select(col("doc_id"),
+          graft.functions.TextFns.repetitionSignals(
+            col("text"), col("__tk"), col("__ln")).as("r"))
+        .select(col("doc_id"), col("r.*"))
+        .orderBy("doc_id")
+    }),
+
     "q44_ppm_decode" -> ((s, dir) => {
       // the REAL image-decode path under the gate: valid binary-P6 bytes
       // (8×6 RGB, pixel byte i = (doc_id·7 + i·13) mod 256) are built per
@@ -1210,6 +1237,60 @@ object SparkEntry {
           SELECT doc_id, $cascade AS red FROM all_docs ORDER BY doc_id"""
     },
 
+    "q48_doc_repetition" -> {
+      // the six Gopher signals re-derived with unnest-based SQL: lines and
+      // 1-based positions zip-unnested (a line repeats iff its FIRST
+      // list_position sits strictly before it — the Spark side's 0-based
+      // `array_position < i+1` in 1-based clothing), bigrams re-joined
+      // from adjacent tokens, the per-doc argmax re-ranked by
+      // (count DESC, bigram DESC) — the struct-max tie-break
+      val plantedSql = repFixture
+        .map { case (id, t) => s"(CAST($id AS BIGINT), '${t.replace("'", "''").replace("\n", "' || chr(10) || '")}')" }
+        .mkString(", ")
+      s"""WITH all_docs(doc_id, text) AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL SELECT * FROM (VALUES $plantedSql) p(doc_id, text)),
+          base AS (
+            SELECT doc_id, text,
+                   string_split(text, chr(10)) AS ln,
+                   list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS tk
+            FROM all_docs),
+          lx AS (
+            SELECT doc_id, ln, unnest(ln) AS l,
+                   unnest(generate_series(1, len(ln))) AS i
+            FROM base),
+          lagg AS (
+            SELECT doc_id,
+                   sum(CASE WHEN list_position(ln, l) < i THEN 1 ELSE 0 END) AS dup_cnt,
+                   sum(CASE WHEN list_position(ln, l) < i THEN len(l) ELSE 0 END) AS dup_chars,
+                   sum(CASE WHEN ltrim(l) LIKE '- %' OR ltrim(l) LIKE '* %' THEN 1 ELSE 0 END) AS bullet_cnt,
+                   sum(CASE WHEN rtrim(l) LIKE '%...' THEN 1 ELSE 0 END) AS ell_cnt
+            FROM lx GROUP BY doc_id),
+          bx AS (
+            SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS j
+            FROM base),
+          bcnt AS (
+            SELECT doc_id, tk[j] || ' ' || tk[j + 1] AS g, count(*) AS c
+            FROM bx GROUP BY doc_id, g),
+          btop AS (
+            SELECT doc_id, c, g,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g DESC) AS rn
+            FROM bcnt)
+          SELECT b.doc_id,
+                 round(CAST(la.dup_cnt AS DOUBLE) / greatest(len(b.ln), 1), 4) AS dup_line_frac,
+                 round(CAST(la.dup_chars AS DOUBLE) / greatest(len(b.text), 1), 4) AS dup_line_char_frac,
+                 round(CAST(la.bullet_cnt AS DOUBLE) / greatest(len(b.ln), 1), 4) AS bullet_line_frac,
+                 round(CAST(la.ell_cnt AS DOUBLE) / greatest(len(b.ln), 1), 4) AS ellipsis_line_frac,
+                 round((CAST(len(b.text) - len(replace(b.text, '#', '')) AS DOUBLE)
+                        + CAST(len(b.text) - len(replace(b.text, '...', '')) AS DOUBLE) / 3)
+                       / greatest(len(b.tk), 1), 4) AS symbol_word_ratio,
+                 round(least(coalesce(CAST(t.c AS DOUBLE) * len(t.g) / greatest(len(b.text), 1), 0.0), 1.0), 4) AS top_bigram_char_frac
+          FROM base b
+          JOIN lagg la USING (doc_id)
+          LEFT JOIN (SELECT doc_id, c, g FROM btop WHERE rn = 1) t USING (doc_id)
+          ORDER BY doc_id"""
+    },
+
     "q44_ppm_decode" ->
       // analytic recomputation of the P6 fixture: pixel byte i =
       // (doc_id·7 + i·13) mod 256, luma = Rec.601 over the 48 pixels —
@@ -1455,6 +1536,20 @@ object SparkEntry {
       (off + 1, "contact john.doe+spam@example-mail.co.uk or visit https://example.com/a?b=1#f today"),
       (off + 2, "server at 192.168.1.254 answered while 10.0.0.7 timed out call +1 415 555 0100 now"),
       (off + 3, "mail a@b.io and c_d%e@f-g.org via http://x.y/z 127.0.0.1 0800 123 4567 and 1.2.3.4.5 end"))
+  }
+
+  /** Planted repetition-dense docs shared by the q48 query and its oracle —
+    * each exercises a different signal: duplicate lines (verbatim and with
+    * distinct surrounding lines), "- "/"* " bullets (including an indented
+    * one ltrim must reach), trailing "..." lines, '#' runs, and a dominant
+    * repeated bigram whose count must beat the count-1 crowd.
+    */
+  private val repFixture: Seq[(Long, String)] = {
+    val off = 1L << 40
+    Seq(
+      (off + 1, "alpha beta gamma\nalpha beta gamma\n- first bullet\n- second bullet\nclosing thought..."),
+      (off + 2, "foo bar foo bar foo bar ## code # mark\n  - indented bullet\nplain line\nplain line"),
+      (off + 3, "* starred\n* starred\nwait...\nwait...\nunique tail # end"))
   }
 
   /** The composed-cleanup verdict-chain CTEs shared by the q38/q39 oracles.

@@ -87,6 +87,29 @@ class TextFnsSpec extends SparkSpec {
     assert(out(0) === 6)
   }
 
+  test("repetitionSignals: hand-derived Gopher signals, degenerate docs zeroed") {
+    // "a b\na b\n- x\nend..." — 4 lines, line 1 repeats line 0 (3 chars of
+    // 18), one bullet, one ellipsis line; 7 tokens; one "..." occurrence;
+    // bigrams: [a b, b a, a b, b -, - x, x end...] -> top ("a b", 2),
+    // coverage 2*3/18
+    val rows = Seq(
+      (1, "a b\na b\n- x\nend..."),
+      (2, "solo"), // 1 token -> no bigrams -> coalesce(0.0); nothing repeats
+      (3, "# #")) // 2 '#' over 2 tokens; top bigram "# #" covers 3/3 -> least(...) caps at 1.0
+      .toDF("id", "t")
+    val out = rows
+      .select(col("id"), col("t"),
+        TextFns.tokens(col("t")).as("__tk"), split(col("t"), "\n").as("__ln"))
+      .select(col("id"),
+        TextFns.repetitionSignals(col("t"), col("__tk"), col("__ln")).as("r"))
+      .select(col("id"), col("r.*"))
+      .as[(Int, Double, Double, Double, Double, Double, Double)]
+      .collect().sortBy(_._1)
+    assert(out(0) === ((1, 0.25, 0.1667, 0.25, 0.25, 0.1429, 0.3333)))
+    assert(out(1) === ((2, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)))
+    assert(out(2) === ((3, 0.0, 0.0, 0.0, 0.0, 1.0, 1.0)))
+  }
+
   test("redact: the PII cascade — ordering, tricky boundaries, clean text untouched") {
     val rows = Seq(
       (1, "contact john.doe+spam@example-mail.co.uk or visit https://example.com/a?b=1#f today"),
