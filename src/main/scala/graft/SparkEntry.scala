@@ -772,6 +772,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q49_clean_repetitive" -> ((s, dir) => {
+      // the composed cleanup chain WITH the Gopher repetition rung under
+      // the gate: Corpus.clean at the published thresholds (dup-line 0.30,
+      // top-bigram 0.20) over documents ∪ three planted docs crafted to
+      // exercise the new rung specifically — two ENGLISH-passing docs that
+      // fail ONLY repetition (one by duplicated lines, one by a dominant
+      // bigram) and one repetitive-AND-foreign doc that must keep the
+      // earlier `wrong_lang` reason (precedence). The DuckDB oracle
+      // recomputes the ENTIRE extended chain — tokens, language argmax,
+      // quality bands, both repetition signals, the new CASE rung, and the
+      // dup window whose ordering now also sorts repetitive docs as
+      // failing.
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val planted = {
+        import s.implicits._
+        repCleanFixture.toDF("doc_id", "text")
+      }
+      graft.pipeline.Corpus.clean(
+        docs.unionByName(planted),
+        repetition = Some(graft.pipeline.Corpus.RepetitionBounds()))
+        .orderBy("id")
+    }),
+
     "q48_doc_repetition" -> ((s, dir) => {
       // Gopher-style repetition/format signals (Rae et al. 2021 §A1.1)
       // under the gate: dup-line fractions, bullet/ellipsis line
@@ -1237,6 +1260,25 @@ object SparkEntry {
           SELECT doc_id, $cascade AS red FROM all_docs ORDER BY doc_id"""
     },
 
+    // q49: the q38 chain EXTENDED by the repetition rung — the oracle
+    // recomputes the whole verdict chain including both repetition signals
+    // (the q48 machinery spliced into the CTE chain) and the rung's
+    // position: after low_quality, before the dup window, which now sorts
+    // repetitive docs as failing
+    "q49_clean_repetitive" -> {
+      val plantedSql = repCleanFixture
+        .map { case (id, t) => s"(CAST($id AS BIGINT), '${t.replace("'", "''").replace("\n", "' || chr(10) || '")}')" }
+        .mkString(", ")
+      s"""WITH all_docs(doc_id, text) AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL SELECT * FROM (VALUES $plantedSql) p(doc_id, text)),
+          ${cleanChainCtesFor(repetition = true)}
+          SELECT doc_id AS id, n_tokens, pred_lang, quality,
+                 COALESCE(reason0, CASE WHEN rn > 1 THEN 'duplicate' END, 'kept') AS reason,
+                 COALESCE(reason0, CASE WHEN rn > 1 THEN 'duplicate' END, 'kept') = 'kept' AS keep
+          FROM ranked ORDER BY id"""
+    },
+
     "q48_doc_repetition" -> {
       // the six Gopher signals re-derived with unnest-based SQL: lines and
       // 1-based positions zip-unnested (a line repeats iff its FIRST
@@ -1552,6 +1594,22 @@ object SparkEntry {
       (off + 3, "* starred\n* starred\nwait...\nwait...\nunique tail # end"))
   }
 
+  /** Planted docs shared by the q49 query and its oracle — each targets
+    * the repetition rung's position in the verdict chain: R1 and R2 pass
+    * every earlier filter (English, in-band quality) and fail ONLY
+    * repetition (R1 via dup_line_frac — 3 of 5 lines repeat; R2 via
+    * top_bigram_char_frac — "the cat" dominates), while R3 is repetitive
+    * AND non-English and must report the earlier `wrong_lang`.
+    */
+  private val repCleanFixture: Seq[(Long, String)] = {
+    val off = 1L << 40
+    val line = "the quick brown fox jumps over the lazy dog"
+    Seq(
+      (off + 11, (Seq.fill(4)(line) :+ "something else entirely different here today").mkString("\n")),
+      (off + 12, "the cat the cat the cat the cat the cat sat here"),
+      (off + 13, "zzz1 zzz2 zzz3 zzz4 zzz5\nzzz1 zzz2 zzz3 zzz4 zzz5\nzzz1 zzz2 zzz3 zzz4 zzz5"))
+  }
+
   /** The composed-cleanup verdict-chain CTEs shared by the q38/q39 oracles.
     * Expects an `all_docs(doc_id, text)` CTE to precede it; yields `ranked`
     * carrying (doc_id, text, n_tokens, pred_lang, quality, reason0, rn) —
@@ -1559,7 +1617,18 @@ object SparkEntry {
     * within each md5(text) group. Generated from [[graft.functions.TextFns
     * .LangProfiles]] so the oracle tracks the engine's language model.
     */
-  private def cleanChainCtes: String = {
+  private def cleanChainCtes: String = cleanChainCtesFor(repetition = false)
+
+  /** [[cleanChainCtes]] with the Gopher repetition rung optionally spliced
+    * in (q49): two extra CTE groups recompute dup_line_frac (zip-unnested
+    * lines vs first list_position) and top_bigram_char_frac (adjacent-token
+    * bigrams re-ranked by count DESC, bigram DESC — the struct-max
+    * tie-break) exactly as the q48 oracle does, and the r0 CASE gains the
+    * `repetitive` rung AFTER low_quality at the published 0.30/0.20
+    * thresholds; the dup window then sorts repetitive docs as failing via
+    * the same `reason0 IS NOT NULL` it already uses.
+    */
+  private def cleanChainCtesFor(repetition: Boolean): String = {
     val profiles = graft.functions.TextFns.LangProfiles
     val langs = profiles.map(_._1)
     val enStop = profiles.head._2.map(w => s"'$w'").mkString(", ")
@@ -1592,12 +1661,34 @@ object SparkEntry {
                + CASE WHEN alphar >= 0.6 THEN 1.0 ELSE 0.0 END
                + CASE WHEN distr >= 0.2 THEN 1.0 ELSE 0.0 END) / 4.0, 4) AS quality
           FROM sig),
-        r0 AS (SELECT doc_id, text, n_tokens, pred_lang, quality,
+        ${if (repetition) """rep_l AS (SELECT doc_id, ln, unnest(ln) AS l,
+               unnest(generate_series(1, len(ln))) AS i
+          FROM (SELECT doc_id, string_split(text, chr(10)) AS ln FROM all_docs) q0),
+        rep_la AS (SELECT doc_id,
+               sum(CASE WHEN list_position(ln, l) < i THEN 1 ELSE 0 END) AS dup_cnt,
+               count(*) AS n_lines
+          FROM rep_l GROUP BY doc_id),
+        rep_b AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS j FROM toks),
+        rep_bc AS (SELECT doc_id, tk[j] || ' ' || tk[j + 1] AS g, count(*) AS c
+          FROM rep_b GROUP BY doc_id, g),
+        rep_bt AS (SELECT doc_id, c, g, row_number() OVER (
+               PARTITION BY doc_id ORDER BY c DESC, g DESC) AS brn
+          FROM rep_bc),
+        rep AS (SELECT a.doc_id,
+               round(CAST(la.dup_cnt AS DOUBLE) / greatest(la.n_lines, 1), 4) AS dlf,
+               round(least(coalesce(CAST(bt.c AS DOUBLE) * len(bt.g)
+                     / greatest(length(a.text), 1), 0.0), 1.0), 4) AS tbf
+          FROM all_docs a
+          JOIN rep_la la USING (doc_id)
+          LEFT JOIN (SELECT doc_id, c, g FROM rep_bt WHERE brn = 1) bt USING (doc_id)),
+        """ else ""}r0 AS (SELECT doc_id, text, n_tokens, pred_lang, quality,
           CASE WHEN n_tokens < 5 THEN 'too_short'
                WHEN n_tokens > 50000 THEN 'too_long'
                WHEN pred_lang <> 'en' THEN 'wrong_lang'
-               WHEN quality < 0.75 THEN 'low_quality' END AS reason0
-          FROM verd),
+               WHEN quality < 0.75 THEN 'low_quality'${if (repetition) """
+               WHEN dlf > 0.3 THEN 'repetitive'
+               WHEN tbf > 0.2 THEN 'repetitive'""" else ""} END AS reason0
+          FROM verd${if (repetition) " JOIN rep USING (doc_id)" else ""}),
         ranked AS (SELECT *, row_number() OVER (
             PARTITION BY md5(text) ORDER BY (reason0 IS NOT NULL), doc_id) AS rn
           FROM r0)"""

@@ -15,11 +15,26 @@ import graft.functions.TextFns
   */
 object Corpus {
 
+  /** Repetition-filter thresholds for the optional `repetitive` verdict
+    * rung — defaults are Gopher's published cutoffs (Rae et al. 2021
+    * §A1.1): drop a doc when more than 30% of its lines repeat an earlier
+    * line, or when its most frequent word bigram covers more than 20% of
+    * its characters. Comparisons run on the ROUNDED (4-decimal) signal
+    * fields of [[graft.functions.TextFns.repetitionSignals]] — the same
+    * values the q48 gate proves cross-engine — so the band's edge
+    * behavior is oracle-exact, not float-luck.
+    */
+  case class RepetitionBounds(
+      maxDupLineFrac: Double = 0.3,
+      maxTopBigramCharFrac: Double = 0.2)
+
   /** Clean a corpus in one composed pass.
     *
     * Reason precedence is part of the contract (a doc failing several
     * filters reports the earliest): `too_short`, `too_long`, `wrong_lang`,
-    * `low_quality`, `duplicate`, else `kept`. Dedup runs LAST and only
+    * `low_quality`, `repetitive` (only when a [[RepetitionBounds]] is
+    * passed — the Gopher repetition rung is opt-in), `duplicate`, else
+    * `kept`. Dedup runs LAST and only
     * among docs that pass every row-local filter — dropping a filtered doc
     * must not change which duplicate survives, and the duplicate-group
     * survivor is the minimum id among PASSING members (if a group's
@@ -55,23 +70,39 @@ object Corpus {
       keepLang: String,
       minTokens: Int,
       maxTokens: Int,
-      minQuality: Double): DataFrame = {
+      minQuality: Double,
+      repetition: Option[RepetitionBounds] = None): DataFrame = {
     val passthrough = docs.columns.map(col).toSeq
     val lowered = docs
       .withColumn("__tk", TextFns.tokens(col(textCol)))
       .withColumn("__ltk", transform(col("__tk"), lower _))
-    // __ltk serves BOTH the language scorer and the quality stopword band
+    // __ltk serves BOTH the language scorer and the quality stopword band;
+    // with the repetition rung on, the signal struct (it needs __tk plus a
+    // line split) rides the same projection pass — one more row-local
+    // kernel, still zero shuffles — and stays a materialized column
+    // (`__rep`) so the two threshold reads in the verdict chain extract
+    // fields instead of re-running the O(n log n) bigram scan
+    // (SPARK-35410: CSE skips lambda-bearing trees).
+    val repCol = repetition.map(_ =>
+      TextFns.repetitionSignals(col(textCol), col("__tk"), split(col(textCol), "\n"))
+        .as("__rep")).toSeq
+    val rowLocal = when(col("n_tokens") < minTokens, "too_short")
+      .when(col("n_tokens") > maxTokens, "too_long")
+      .when(col("pred_lang") =!= keepLang, "wrong_lang")
+      .when(col("quality") < minQuality, "low_quality")
     lowered
       .select(passthrough ++ Seq(
         size(col("__tk")).as("n_tokens"),
         TextFns.langIdFromTokens(col("__ltk")).as("pred_lang"),
         TextFns.qualityScoreFromTokens(col(textCol), col("__tk"), col("__ltk")).as("quality"),
-        md5(col(textCol).cast("binary")).as("__h")): _*)
-      .withColumn("__r0",
-        when(col("n_tokens") < minTokens, "too_short")
-          .when(col("n_tokens") > maxTokens, "too_long")
-          .when(col("pred_lang") =!= keepLang, "wrong_lang")
-          .when(col("quality") < minQuality, "low_quality"))
+        md5(col(textCol).cast("binary")).as("__h")) ++ repCol: _*)
+      .withColumn("__r0", repetition match {
+        case Some(b) => rowLocal
+          .when(col("__rep.dup_line_frac") > b.maxDupLineFrac, "repetitive")
+          .when(col("__rep.top_bigram_char_frac") > b.maxTopBigramCharFrac, "repetitive")
+        case None => rowLocal
+      })
+      .drop("__rep")
   }
 
   def clean(
@@ -81,10 +112,11 @@ object Corpus {
       keepLang: String = "en",
       minTokens: Int = 5,
       maxTokens: Int = 50000,
-      minQuality: Double = 0.75): DataFrame = {
+      minQuality: Double = 0.75,
+      repetition: Option[RepetitionBounds] = None): DataFrame = {
     val slim = rowVerdicts(
       docs.select(col(idCol).cast("long").as("id"), col(textCol).as("__text")),
-      "__text", keepLang, minTokens, maxTokens, minQuality)
+      "__text", keepLang, minTokens, maxTokens, minQuality, repetition)
       .select("id", "n_tokens", "pred_lang", "quality", "__h", "__r0")
     // passing docs first (false < true), then min id: rank 1 is the
     // surviving copy; a passing doc ranked behind it is the duplicate
@@ -160,9 +192,10 @@ object Corpus {
       minTokens: Int = 5,
       maxTokens: Int = 50000,
       minQuality: Double = 0.75,
-      hotClusterWarn: Int = 100000): DataFrame = {
+      hotClusterWarn: Int = 100000,
+      repetition: Option[RepetitionBounds] = None): DataFrame = {
     require(pairSources.nonEmpty, "cleanWithNearDup needs at least one pair source")
-    val base = clean(docs, idCol, textCol, keepLang, minTokens, maxTokens, minQuality)
+    val base = clean(docs, idCol, textCol, keepLang, minTokens, maxTokens, minQuality, repetition)
       .drop("keep") // recomputed after demotion
     val edges = pairSources
       .map(_.select(col("id_a").cast("long").as("id_a"), col("id_b").cast("long").as("id_b")))

@@ -63,7 +63,8 @@ object Streams {
   /** Streaming corpus cleanup — the streaming dual of
     * [[graft.pipeline.Corpus.clean]] for a document INGEST stream
     * (ts TIMESTAMP, doc_id, text, …): the same row-local verdict kernels
-    * (token bounds, language ID, quality bands — literally shared code,
+    * (token bounds, language ID, quality bands, the opt-in Gopher
+    * repetition rung — literally shared code,
     * `Corpus.rowVerdicts`, so batch and stream can never disagree on a
     * verdict), then exact dedup of the in-flight window via
     * `dropDuplicatesWithinWatermark` on the md5/128-bit content identity.
@@ -90,9 +91,10 @@ object Streams {
       keepLang: String = "en",
       minTokens: Int = 5,
       maxTokens: Int = 50000,
-      minQuality: Double = 0.75): DataFrame =
+      minQuality: Double = 0.75,
+      repetition: Option[graft.pipeline.Corpus.RepetitionBounds] = None): DataFrame =
     graft.pipeline.Corpus.rowVerdicts(
-      docs, textCol, keepLang, minTokens, maxTokens, minQuality)
+      docs, textCol, keepLang, minTokens, maxTokens, minQuality, repetition)
       .filter(col("__r0").isNull)
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("__h")

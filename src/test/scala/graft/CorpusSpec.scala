@@ -37,6 +37,39 @@ class CorpusSpec extends SparkSpec {
       (6L, "too_short", false)))
   }
 
+  test("repetition rung: opt-in, fires after low_quality and before duplicate") {
+    val line = "the quick brown fox jumps over the lazy dog"
+    val dupLines = (Seq.fill(4)(line) :+ "something else entirely different here today").mkString("\n")
+    val topBigram = "the cat the cat the cat the cat the cat sat here"
+    val docs = Seq(
+      (1L, goodEn), // kept — a clean doc is untouched by the rung
+      (2L, dupLines), // English-passing, 3/5 lines repeat -> repetitive
+      (3L, topBigram), // English-passing, "the cat" covers 35/48 chars -> repetitive
+      (4L, "zz1 zz2 zz3 zz4 zz5\nzz1 zz2 zz3 zz4 zz5"), // repetitive AND non-English -> wrong_lang wins
+      (5L, dupLines) // exact copy of 2: both rows repetitive, NEITHER reported as duplicate
+    ).toDF("doc_id", "text")
+    val bounds = Some(Corpus.RepetitionBounds())
+    val out = Corpus.clean(docs, repetition = bounds).orderBy("id")
+      .select("id", "reason").as[(Long, String)].collect().toSeq
+    assert(out === Seq(
+      (1L, "kept"), (2L, "repetitive"), (3L, "repetitive"),
+      (4L, "wrong_lang"), (5L, "repetitive")))
+    // without the bounds the same corpus reports no repetition at all —
+    // doc 5 becomes a plain exact duplicate of the now-kept doc 2
+    val off = Corpus.clean(docs).orderBy("id")
+      .select("id", "reason").as[(Long, String)].collect().toSeq
+    assert(off === Seq(
+      (1L, "kept"), (2L, "kept"), (3L, "kept"),
+      (4L, "wrong_lang"), (5L, "duplicate")))
+    // the rung rides through cleanWithNearDup unchanged: near-dup demotion
+    // still applies only to docs the (extended) earlier chain kept
+    val pairs = Seq((1L, 3L)).toDF("id_a", "id_b")
+    val nd = Corpus.cleanWithNearDup(docs, Seq(pairs), repetition = bounds)
+      .orderBy("id").select("id", "reason").as[(Long, String)].collect().toSeq
+    assert(nd.find(_._1 == 3L).get._2 === "repetitive", "repetitive beats near_duplicate")
+    assert(nd.find(_._1 == 1L).get._2 === "kept")
+  }
+
   test("maxTokens bound fires; thresholds are parameters") {
     val long = (1 to 20).map(i => s"tok$i").mkString(" ")
     val docs = Seq((1L, long)).toDF("doc_id", "text")

@@ -92,6 +92,33 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming corpus cleanup: the repetition rung drops repetitive docs in-stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val goodEn = "the quick brown fox jumps over a lazy dog and it was quite fast for sure"
+    val line = "the quick brown fox jumps over the lazy dog"
+    // English-passing but 3 of 5 lines repeat — fails ONLY the rep rung
+    val repetitive = (Seq.fill(4)(line) :+ "something else entirely different here today").mkString("\n")
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDF.toDF("ts", "doc_id", "text")
+    val q = Streams.cleanDocs(docs, watermark = "1 hour",
+      repetition = Some(graft.pipeline.Corpus.RepetitionBounds()))
+      .writeStream.format("memory").queryName("clean_docs_rep").outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2026-01-01 10:00:00"), 1L, goodEn),
+        (ts("2026-01-01 10:00:01"), 2L, repetitive))
+      q.processAllAvailable()
+      val out = spark.table("clean_docs_rep").select("doc_id").as[Long].collect().toSeq
+      assert(out === Seq(1L), s"repetitive doc must be dropped in-stream: $out")
+      // shared-kernel parity: the batch chain agrees the doc is repetitive
+      val batch = graft.pipeline.Corpus.clean(
+        Seq((2L, repetitive)).toDF("doc_id", "text"),
+        repetition = Some(graft.pipeline.Corpus.RepetitionBounds()))
+        .select("reason").as[String].head()
+      assert(batch === "repetitive")
+    } finally q.stop()
+  }
+
   test("stateful host sessions: AIMD delay update per fetch event") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[FetchEvent]
