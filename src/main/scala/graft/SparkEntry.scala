@@ -772,6 +772,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q50_html_extract" -> ((s, dir) => {
+      // the HTML→text extraction cascade under the gate — the operator
+      // that PRODUCES the pages table's text column from its html. Every
+      // document's text is wrapped in a deterministic HTML template
+      // (script with a '<' and a decoy '</p>' inside a string, style
+      // block, comment, entities, list markup) so the cascade runs over
+      // 5000 arbitrary payloads, plus planted raw-HTML fixtures for the
+      // tricky grammar cases (tag-in-script-string, prose '<' runs,
+      // double-encoded entities). The DuckDB oracle regenerates the WHOLE
+      // cascade — strip patterns, entity decodes in order, whitespace
+      // normalization, edge trim — from the same pattern data and re-runs
+      // it in RE2; any Java/RE2 semantic drift in any pattern
+      // hash-mismatches.
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val html = concat(
+        lit(htmlTplA), col("doc_id").cast("string"),
+        lit(htmlTplB), col("text"), lit(htmlTplC))
+      val planted = {
+        import s.implicits._
+        htmlFixture.toDF("doc_id", "html")
+      }
+      docs.select(col("doc_id"), html.as("html"))
+        .unionByName(planted)
+        .select(col("doc_id"),
+          graft.functions.TextFns.htmlToText(col("html")).as("txt"))
+        .orderBy("doc_id")
+    }),
+
     "q49_clean_repetitive" -> ((s, dir) => {
       // the composed cleanup chain WITH the Gopher repetition rung under
       // the gate: Corpus.clean at the published thresholds (dup-line 0.30,
@@ -1260,6 +1288,38 @@ object SparkEntry {
           SELECT doc_id, $cascade AS red FROM all_docs ORDER BY doc_id"""
     },
 
+    // q50: the whole HTML→text cascade regenerated from the same pattern
+    // data (strip regexes with 'g', literal entity replaces in order,
+    // whitespace regexes, space+newline edge trim) and re-run by DuckDB's
+    // RE2 over the same templated documents ∪ raw-HTML fixtures
+    "q50_html_extract" -> {
+      import graft.functions.TextFns
+      def sqlStr(v: String): String =
+        v.split("\n", -1).map(c => "'" + c.replace("'", "''") + "'")
+          .mkString(" || chr(10) || ")
+      val strip = TextFns.HtmlStripPatterns.foldLeft("html") {
+        case (inner, (p, r)) => s"regexp_replace($inner, '${p.replace("'", "''")}', ${sqlStr(r)}, 'g')"
+      }
+      val decoded = TextFns.HtmlEntities.foldLeft(strip) {
+        case (inner, (e, r)) => s"replace($inner, ${sqlStr(e)}, ${sqlStr(r)})"
+      }
+      val normalized = TextFns.HtmlWhitespacePatterns.foldLeft(decoded) {
+        case (inner, (p, r)) => s"regexp_replace($inner, '${p.replace("'", "''")}', ${sqlStr(r)}, 'g')"
+      }
+      val plantedSql = htmlFixture
+        .map { case (id, h) => s"(CAST($id AS BIGINT), '${h.replace("'", "''")}')" }
+        .mkString(", ")
+      s"""WITH all_docs(doc_id, html) AS (
+            SELECT doc_id,
+                   '${htmlTplA.replace("'", "''")}' || CAST(doc_id AS VARCHAR) ||
+                   '${htmlTplB.replace("'", "''")}' || text ||
+                   '${htmlTplC.replace("'", "''")}' AS html
+            FROM documents
+            UNION ALL SELECT * FROM (VALUES $plantedSql) p(doc_id, html))
+          SELECT doc_id, trim($normalized, ' ' || chr(10)) AS txt
+          FROM all_docs ORDER BY doc_id"""
+    },
+
     // q49: the q38 chain EXTENDED by the repetition rung — the oracle
     // recomputes the whole verdict chain including both repetition signals
     // (the q48 machinery spliced into the CTE chain) and the rung's
@@ -1592,6 +1652,31 @@ object SparkEntry {
       (off + 1, "alpha beta gamma\nalpha beta gamma\n- first bullet\n- second bullet\nclosing thought..."),
       (off + 2, "foo bar foo bar foo bar ## code # mark\n  - indented bullet\nplain line\nplain line"),
       (off + 3, "* starred\n* starred\nwait...\nwait...\nunique tail # end"))
+  }
+
+  /** Planted raw-HTML docs shared by the q50 query and its oracle — the
+    * grammar cases the template can't produce: a `</div>` inside a script
+    * string (must die with the script), a tag-shaped `< b and c >` run in
+    * prose (the cascade's documented loss), table/br structure, and
+    * double-encoded entities that must STAY single-encoded.
+    */
+  /** The q50 HTML template chunks — ONE definition feeding both the Spark
+    * concat and the oracle's SQL concat, so template and oracle can never
+    * diverge. Deliberately free of single quotes (SQL-splice-safe) while
+    * exercising script-with-angle-and-decoy-closer, style, comment,
+    * entities and list markup around every document's text.
+    */
+  private val htmlTplA = "<html><head><title>D</title><script>var x = 1 < 2; s = \"</p>\";</script>" +
+    "<style>p { color: red; }</style></head><body><!-- note <b>x</b> --><h1>Doc "
+  private val htmlTplB = "</h1><p>fish &amp; chips &lt;sample&gt;</p><p>"
+  private val htmlTplC = "</p><ul><li>item&nbsp;one</li><li>item two</li></ul></body></html>"
+
+  private val htmlFixture: Seq[(Long, String)] = {
+    val off = 1L << 40
+    Seq(
+      (off + 21, "<div><p>nested <b>bold</b> text</p><br><table><tr><td>cell one</td><td>cell two</td></tr></table></div>"),
+      (off + 22, "<p>a < b and c > d</p><script>while (i<n) { emit('</div>'); }</script><p>tail</p>"),
+      (off + 23, "no markup &amp;lt;keeps-encoding&amp;gt; fish &amp; chips&nbsp;&nbsp;end"))
   }
 
   /** Planted docs shared by the q49 query and its oracle — each targets

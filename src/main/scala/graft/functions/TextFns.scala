@@ -297,6 +297,67 @@ object TextFns {
   def redact(text: Column, patterns: Seq[(String, String)] = RedactionPatterns): Column =
     patterns.foldLeft(text) { case (c, (pat, repl)) => regexp_replace(c, pat, repl) }
 
+  // ------------------------------------------------------ html extraction
+
+  /** HTML-stripping cascade, applied IN ORDER (comments and script/style
+    * BLOCKS go first — a `</div>` inside a script string must die with its
+    * script, not terminate a tag scan; block-closing tags become newlines
+    * so line structure survives for the line-based filters; then every
+    * remaining tag-shaped run `<...>` is dropped — including a stray
+    * `< b and c >` in prose, a DEFINED loss of this regex-grammar cascade,
+    * stated rather than hidden). Patterns are DATA (a deployment swaps its
+    * own) and deliberately in the Java∩RE2-identical subset — inline
+    * `(?is)` flags, lazy quantifiers, `\b`, bounded repetition; no
+    * lookarounds, no backreferences — so the gated q50 can re-run the
+    * WHOLE cascade in DuckDB's RE2 and hash-compare.
+    */
+  val HtmlStripPatterns: Seq[(String, String)] = Seq(
+    "(?is)<!--.*?-->" -> " ",
+    "(?is)<script\\b[^>]*>.*?</script>" -> " ",
+    "(?is)<style\\b[^>]*>.*?</style>" -> " ",
+    "(?i)<(?:br|/p|/div|/li|/h[1-6]|/tr|/td|/table)\\b[^>]*>" -> "\n",
+    "<[^>]*>" -> " ")
+
+  /** Named-entity decodes, applied in order with `&amp;` LAST — the
+    * standard rule that keeps double-encoded text single-encoded
+    * (`&amp;lt;` → `&lt;`, never `<`). Literal replaces, not regex.
+    */
+  val HtmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&apos;" -> "'",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** Whitespace normalization after stripping: collapse non-newline
+    * whitespace runs, trim spaces hugging newlines, bound blank runs at
+    * one empty line. `[^\S\n]` instead of `\s` keeps Java and RE2
+    * identical on everything but the vertical tab (the q23 caveat).
+    */
+  val HtmlWhitespacePatterns: Seq[(String, String)] = Seq(
+    "[^\\S\\n]+" -> " ",
+    " ?\\n ?" -> "\n",
+    "\\n{3,}" -> "\n\n")
+
+  /** HTML → visible text — the WET-generation step of a Common-Crawl-style
+    * pipeline, producing the `text` column of the pages table from its
+    * `html`. One codegen'd `regexp_replace`/`replace` per cascade entry,
+    * pure Column expression: at 100 TB this is a row-local projection
+    * pass, no shuffle, no UDF. For an `html: binary` column (the
+    * Common-Crawl page-table shape), pass `col("html").cast("string")` —
+    * UTF-8 decode, the same bytes-to-text rule the WET step uses.
+    */
+  def htmlToText(html: Column): Column = {
+    val stripped = HtmlStripPatterns.foldLeft(html) {
+      case (c, (p, r)) => regexp_replace(c, p, r)
+    }
+    val decoded = HtmlEntities.foldLeft(stripped) {
+      case (c, (e, r)) => replace(c, lit(e), lit(r))
+    }
+    // trim BOTH spaces and newlines at the edges (one-arg trim is
+    // spaces-only in Spark and DuckDB alike)
+    trim(HtmlWhitespacePatterns.foldLeft(decoded) {
+      case (c, (p, r)) => regexp_replace(c, p, r)
+    }, " \n")
+  }
+
   // ---------------------------------------------------------- fingerprint
 
   /** Winnowing document fingerprint: hash every character k-gram, slide a

@@ -110,6 +110,26 @@ class TextFnsSpec extends SparkSpec {
     assert(out(2) === ((3, 0.0, 0.0, 0.0, 0.0, 1.0, 1.0)))
   }
 
+  test("htmlToText: strip order, entity decode order, whitespace normalization") {
+    val rows = Seq(
+      // script body swallows the '</div>' inside its string; block closers
+      // -> newlines; comment (with a tag inside) removed whole
+      (1, "<html><head><script>if (a<b) { s='</div>'; }</script><style>p { color: red; }</style></head>" +
+        "<body><!-- note <b>bold</b> --><h1>Title</h1><p>first para</p><p>second para</p></body></html>"),
+      // entities: double-encoded stays single-encoded (&amp;lt; -> &lt;),
+      // &nbsp; becomes a plain space and collapses with neighbors
+      (2, "<p>fish &amp; chips &lt;now&gt; &amp;lt;still-encoded&amp;gt; a&nbsp; b</p>"),
+      // a tag-shaped run in prose is removed — the documented cascade loss
+      (3, "x < b and c > y<br>z"),
+      (4, "plain text with no markup at all")).toDF("id", "t")
+    val out = rows.select(col("id"), TextFns.htmlToText(col("t")).as("r"))
+      .as[(Int, String)].collect().sortBy(_._1).map(_._2)
+    assert(out(0) === "Title\nfirst para\nsecond para")
+    assert(out(1) === "fish & chips <now> &lt;still-encoded&gt; a b")
+    assert(out(2) === "x y\nz")
+    assert(out(3) === "plain text with no markup at all")
+  }
+
   test("redact: the PII cascade — ordering, tricky boundaries, clean text untouched") {
     val rows = Seq(
       (1, "contact john.doe+spam@example-mail.co.uk or visit https://example.com/a?b=1#f today"),
