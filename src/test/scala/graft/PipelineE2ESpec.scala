@@ -11,10 +11,12 @@ import graft.pipeline.Corpus
 import graft.synth.BenchWorkload
 
 /** ONE engine, ONE pipeline: crawl a synthetic web (frontier → dedup →
-  * schedule → fetch-join), treat the fetched page bodies as a document
-  * corpus, and run the composed cleanup + near-dup dedup over it — the
-  * end-to-end shape a pretraining data pipeline actually has, with no
-  * hand-off between a "crawler" and a "dedup job".
+  * schedule → fetch-join), EXTRACT text from the fetched HTML bytes
+  * (`TextFns.htmlToText`, the WET step, asserted byte-exact against the
+  * served bodies), and run the composed cleanup + near-dup dedup over the
+  * extracted corpus — the end-to-end shape a pretraining data pipeline
+  * actually has, with no hand-off between a "crawler", an "extractor" and
+  * a "dedup job".
   */
 class PipelineE2ESpec extends SparkSpec {
   import spark.implicits._
@@ -28,11 +30,16 @@ class PipelineE2ESpec extends SparkSpec {
     // appended token (a near-dup, invisible to exact hashing)
     val body3 = pages0.filter(col("url").endsWith("/rates/page-3"))
       .select("text").as[String].head()
+    // pages serve HTML (binary, as a Common-Crawl page table does): the
+    // body text wrapped in markup whose comment/script/tags all strip to
+    // NOTHING, so extraction must recover the body exactly
     val pages = pages0.withColumn("text",
       when(col("url").endsWith("/rates/page-7"), lit(body3))
         .when(col("url").endsWith("/rates/page-11"), lit(body3 + " extraword"))
         .otherwise(col("text")))
-      .withColumn("html", encode(col("text"), "UTF-8"))
+      .withColumn("html", encode(concat(
+        lit("<html><body><!-- hdr --><script>var a = 1 < 2;</script><p>"),
+        col("text"), lit("</p></body></html>")), "UTF-8"))
     val robots = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL("host STRING, pathPrefix STRING, allow BOOLEAN"))
@@ -43,9 +50,17 @@ class PipelineE2ESpec extends SparkSpec {
       roundSec = 1e9, maxRounds = 5)
     assert(seen.count() === 200L, "the crawl must fetch the whole frontier")
 
-    // the fetched corpus: urlHash is the doc id (64-bit, stable)
-    val corpus = seen.join(pages.select("url", "text"), Seq("url"))
-      .select(col("urlHash").as("doc_id"), col("text"))
+    // the fetched corpus: urlHash is the doc id (64-bit, stable); text is
+    // EXTRACTED from the fetched html (binary → UTF-8 → htmlToText), the
+    // WET step in its place in the pipeline — and it must round-trip the
+    // body byte-exactly, because every markup element strips to nothing
+    val fetched = seen.join(pages.select("url", "html", "text"), Seq("url"))
+      .select(col("urlHash").as("doc_id"),
+        graft.functions.TextFns.htmlToText(col("html").cast("string")).as("extracted"),
+        col("text").as("body"))
+    assert(fetched.filter(col("extracted") =!= col("body")).count() === 0L,
+      "extraction must recover every page body exactly")
+    val corpus = fetched.select(col("doc_id"), col("extracted").as("text"))
     // JSON bodies are not English prose — the row-local filters are opened
     // up (they are parameters) so this test exercises the DEDUP stages;
     // q38/q39 gate the filter chain itself on the documents table
