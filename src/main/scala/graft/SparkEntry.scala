@@ -772,6 +772,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q51_line_dedup" -> ((s, dir) => {
+      // corpus-GLOBAL line dedup (the C4 §2.2 move) under the gate: every
+      // line keeps only its (doc id, line index)-first occurrence across
+      // the whole corpus, docs reassembled in order, fully-shadowed docs
+      // collapse to ''. Planted multi-line docs exercise cross-doc theft,
+      // in-doc repeats and total collapse; the 5000 real single-line docs
+      // are the no-op parity half (any exact-dup texts among them dedup
+      // too — the oracle recomputes, nothing is golden).
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val planted = {
+        import s.implicits._
+        lineFixture.toDF("doc_id", "text")
+      }
+      graft.dedup.DocDedup.dedupLines(docs.unionByName(planted))
+        .orderBy("id")
+    }),
+
     "q50_html_extract" -> ((s, dir) => {
       // the HTML→text extraction cascade under the gate — the operator
       // that PRODUCES the pages table's text column from its html. Every
@@ -1288,6 +1305,34 @@ object SparkEntry {
           SELECT doc_id, $cascade AS red FROM all_docs ORDER BY doc_id"""
     },
 
+    // q51: the oracle re-derives corpus-global line dedup from scratch —
+    // zip-unnested (line, position) rows, a row_number over
+    // (PARTITION BY md5(line) ORDER BY doc_id, position) picking the
+    // global first occurrence, and an ordered string_agg reassembly;
+    // fully-shadowed docs come back via the left join as ''
+    "q51_line_dedup" -> {
+      val plantedSql = lineFixture
+        .map { case (id, t) => s"(CAST($id AS BIGINT), '${t.replace("'", "''").replace("\n", "' || chr(10) || '")}')" }
+        .mkString(", ")
+      s"""WITH all_docs(doc_id, text) AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL SELECT * FROM (VALUES $plantedSql) p(doc_id, text)),
+          lx AS (
+            SELECT doc_id, unnest(ln) AS line,
+                   unnest(generate_series(1, len(ln))) AS i
+            FROM (SELECT doc_id, string_split(text, chr(10)) AS ln FROM all_docs) q0),
+          w AS (
+            SELECT doc_id, i, line, row_number() OVER (
+                   PARTITION BY md5(line) ORDER BY doc_id, i) AS rn
+            FROM lx),
+          reb AS (
+            SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS text
+            FROM w WHERE rn = 1 GROUP BY doc_id)
+          SELECT a.doc_id AS id, coalesce(r.text, '') AS text
+          FROM all_docs a LEFT JOIN reb r ON a.doc_id = r.doc_id
+          ORDER BY id"""
+    },
+
     // q50: the whole HTML→text cascade regenerated from the same pattern
     // data (strip regexes with 'g', literal entity replaces in order,
     // whitespace regexes, space+newline edge trim) and re-run by DuckDB's
@@ -1660,6 +1705,20 @@ object SparkEntry {
     * prose (the cascade's documented loss), table/br structure, and
     * double-encoded entities that must STAY single-encoded.
     */
+  /** Planted multi-line docs shared by the q51 query and its oracle —
+    * distinctive `zzfix` tokens keep them disjoint from real doc texts at
+    * any SF. L2 loses its first line to L1 and its own in-doc repeat; L3
+    * is a verbatim copy of L1 and collapses to ''; L4 is untouched.
+    */
+  private val lineFixture: Seq[(Long, String)] = {
+    val off = 1L << 40
+    Seq(
+      (off + 31, "zzfix shared one\nzzfix unique alpha\nzzfix shared two"),
+      (off + 32, "zzfix shared one\nzzfix unique beta\nzzfix unique beta"),
+      (off + 33, "zzfix shared one\nzzfix unique alpha\nzzfix shared two"),
+      (off + 34, "zzfix fresh line"))
+  }
+
   /** The q50 HTML template chunks — ONE definition feeding both the Spark
     * concat and the oracle's SQL concat, so template and oracle can never
     * diverge. Deliberately free of single quotes (SQL-splice-safe) while

@@ -438,4 +438,43 @@ object DocDedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Corpus-GLOBAL line dedup — the C4 move (Raffel et al. 2020 §2.2:
+    * "we discarded all but one of any three-sentence span occurring more
+    * than once in the data set", here at line granularity): across the
+    * WHOLE corpus, every line keeps only its first occurrence — ordered by
+    * (doc id, line index) — and every later occurrence is deleted from its
+    * document, including repeats inside one document. Documents are
+    * reassembled in original line order; a document whose every line
+    * occurred earlier elsewhere collapses to the empty string (the row is
+    * kept — dropping it is the caller's policy decision).
+    *
+    * Scale shape: line identity is md5/128-bit (the [[exact]] argument —
+    * 64-bit keys silently merge distinct lines at 10^10-line scale). The
+    * winner per line is found by partial-aggregable `min(struct(id, idx))`
+    * over a slim (hash, id, idx) stream — NEVER a per-hash window, because
+    * boilerplate lines ("all rights reserved") are precisely the hottest
+    * keys and a window would funnel each into one task, while map-side
+    * partial min folds them early. The fat (line text) rows shuffle twice
+    * — once joining winners back (AQE handles the boilerplate-key skew),
+    * once regrouping by doc for reassembly — both inherent: the output is
+    * the rewritten document, so surviving text must reach its doc.
+    */
+  def dedupLines(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val lines = docs
+      .select(col(idCol).cast("long").as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("idx", "line")))
+      .withColumn("__h", md5(col("line").cast("binary")))
+    val winners = lines
+      .groupBy("__h")
+      .agg(min(struct(col("id"), col("idx"))).as("__w"))
+    val kept = lines.join(winners, Seq("__h"))
+      .filter(struct(col("id"), col("idx")) === col("__w"))
+    val rebuilt = kept.groupBy("id")
+      .agg(concat_ws("\n",
+        transform(array_sort(collect_list(struct(col("idx"), col("line")))),
+          s => s.getField("line"))).as("text"))
+    docs.select(col(idCol).cast("long").as("id")).join(rebuilt, Seq("id"), "left")
+      .select(col("id"), coalesce(col("text"), lit("")).as("text"))
+  }
 }

@@ -218,4 +218,19 @@ class DocDedupSpec extends SparkSpec {
     assert(out(0).toSet === Set("a b c", "b c d"))
     assert(out(1) === Seq("x y"))
   }
+
+  test("dedupLines: corpus-global first occurrence wins; docs reassembled in order") {
+    val docs = Seq(
+      (1L, "shared one\nunique alpha\nshared two"),
+      (2L, "shared one\nunique beta\nunique beta"), // loses line 1 to doc 1 AND its own in-doc repeat
+      (3L, "shared one\nunique alpha\nshared two"), // verbatim copy of doc 1 -> collapses to ""
+      (4L, "fresh line")).toDF("doc_id", "text")
+    val out = DocDedup.dedupLines(docs).orderBy("id")
+      .as[(Long, String)].collect()
+    assert(out === Array(
+      (1L, "shared one\nunique alpha\nshared two"),
+      (2L, "unique beta"),
+      (3L, ""),
+      (4L, "fresh line")))
+  }
 }
