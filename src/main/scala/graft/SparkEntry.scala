@@ -772,6 +772,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q52_stratified_sample" -> ((s, dir) => {
+      // deterministic mixture sampling under the gate: the documents table
+      // downsampled per language at the shared sampleWeights (zh absent →
+      // allowlist-dropped), membership a pure function of
+      // md5(doc_id ":" salt) — the oracle recomputes the 60-bit hex key,
+      // the mod-denom reduction and the per-stratum threshold in DuckDB,
+      // so ANY drift in the membership function empties/flips rows and
+      // hash-mismatches
+      graft.pipeline.Sampler.stratifiedSample(
+        t(s, dir, "documents").select("doc_id", "lang"),
+        sampleWeights.toMap)
+        .orderBy("doc_id")
+    }),
+
     "q51_line_dedup" -> ((s, dir) => {
       // corpus-GLOBAL line dedup (the C4 §2.2 move) under the gate: every
       // line keeps only its (doc id, line index)-first occurrence across
@@ -1305,6 +1319,22 @@ object SparkEntry {
           SELECT doc_id, $cascade AS red FROM all_docs ORDER BY doc_id"""
     },
 
+    // q52: membership recomputed from scratch — the 60-bit key is the
+    // first 15 hex chars of md5(doc_id ':' salt) parsed as hex (15 digits
+    // fit SIGNED 64-bit in both engines, no sign-wrap dance), reduced
+    // mod 10000 and compared to round(weight*10000) from the same shared
+    // weights data
+    "q52_stratified_sample" -> {
+      val wSql = sampleWeights
+        .map { case (s, w) => s"('$s', ${math.round(w * 10000)})" }
+        .mkString(", ")
+      s"""WITH w(stratum, thr) AS (VALUES $wSql)
+          SELECT doc_id, lang FROM documents d JOIN w ON d.lang = w.stratum
+          WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 15))::BIGINT
+                % 10000 < thr
+          ORDER BY doc_id"""
+    },
+
     // q51: the oracle re-derives corpus-global line dedup from scratch —
     // zip-unnested (line, position) rows, a row_number over
     // (PARTITION BY md5(line) ORDER BY doc_id, position) picking the
@@ -1705,6 +1735,13 @@ object SparkEntry {
     * prose (the cascade's documented loss), table/br structure, and
     * double-encoded entities that must STAY single-encoded.
     */
+  /** The q52 mixture weights — ONE definition feeding both the Sampler
+    * call and the oracle's VALUES table. zh is deliberately absent: the
+    * mixture is an allowlist and unlisted strata drop.
+    */
+  private val sampleWeights: Seq[(String, Double)] =
+    Seq("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1, "es" -> 1.0)
+
   /** Planted multi-line docs shared by the q51 query and its oracle —
     * distinctive `zzfix` tokens keep them disjoint from real doc texts at
     * any SF. L2 loses its first line to L1 and its own in-doc repeat; L3
