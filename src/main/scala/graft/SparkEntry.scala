@@ -772,6 +772,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q53_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination under the gate: every 97th document
+      // plays the eval set (SF-proportional, so the benchmark grows with
+      // the corpus), and every doc sharing a lowercased word 8-gram with
+      // it is flagged — which includes the benchmark docs themselves
+      // (self-containment, ≥8 tokens), plus any true cross-doc leaks. The
+      // oracle rebuilds BOTH gram sets and the semi-join from scratch;
+      // nothing is golden.
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      graft.pipeline.Decontaminate.contaminationFlags(
+        docs, docs.filter(col("doc_id") % 97 === 0))
+        .orderBy("id")
+    }),
+
     "q52_stratified_sample" -> ((s, dir) => {
       // deterministic mixture sampling under the gate: the documents table
       // downsampled per language at the shared sampleWeights (zh absent →
@@ -1317,6 +1331,30 @@ object SparkEntry {
             SELECT doc_id, text FROM documents
             UNION ALL SELECT * FROM (VALUES $plantedSql) p(doc_id, text))
           SELECT doc_id, $cascade AS red FROM all_docs ORDER BY doc_id"""
+    },
+
+    // q53: both 8-gram sets (lowercased whitespace tokens, space-joined)
+    // and the overlap semi-join re-derived in DuckDB with the zip-unnest
+    // machinery; docs shorter than 8 tokens emit no grams on either side
+    "q53_decontaminate" -> {
+      val n = 8
+      val gramExpr = (0 until n).map(k => s"tk[j + $k]").mkString(" || ' ' || ")
+      s"""WITH btk AS (
+            SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS tk
+            FROM documents WHERE doc_id % 97 = 0),
+          bg AS (
+            SELECT DISTINCT $gramExpr AS g
+            FROM (SELECT tk, unnest(generate_series(1, len(tk) - ${n - 1})) AS j FROM btk)),
+          dtk AS (
+            SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS tk
+            FROM documents),
+          dg AS (
+            SELECT DISTINCT doc_id, $gramExpr AS g
+            FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - ${n - 1})) AS j FROM dtk)),
+          hit AS (SELECT DISTINCT doc_id FROM dg JOIN bg USING (g))
+          SELECT d.doc_id AS id, (h.doc_id IS NOT NULL) AS contaminated
+          FROM documents d LEFT JOIN hit h USING (doc_id)
+          ORDER BY id"""
     },
 
     // q52: membership recomputed from scratch — the 60-bit key is the
