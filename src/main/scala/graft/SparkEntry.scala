@@ -772,6 +772,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q54_pack_offsets" -> ((s, dir) => {
+      // GPT-style sequence packing under the gate: the documents corpus
+      // concatenated in id order (1 separator slot per doc) and chunked
+      // into 512-token windows; every doc's global offset and straddle
+      // span recomputed by the oracle with a plain window cumsum (the
+      // single-partition shape the ENGINE refuses to use — the oracle is
+      // allowed to, which is exactly what makes it an independent check
+      // of the distributed bucket/offset prefix sum)
+      graft.pipeline.Corpus.packOffsets(
+        t(s, dir, "documents").select("doc_id", "text"),
+        budget = 512, sepTokens = 1)
+        .orderBy("id")
+    }),
+
     "q53_decontaminate" -> ((s, dir) => {
       // benchmark decontamination under the gate: every 97th document
       // plays the eval set (SF-proportional, so the benchmark grows with
@@ -1332,6 +1346,26 @@ object SparkEntry {
             UNION ALL SELECT * FROM (VALUES $plantedSql) p(doc_id, text))
           SELECT doc_id, $cascade AS red FROM all_docs ORDER BY doc_id"""
     },
+
+    // q54: the packing map re-derived with the oracle's luxury — ONE
+    // ordered window cumsum over the whole corpus (the engine's
+    // distributed prefix sum must agree with it exactly), then integral
+    // division into packs; empty docs span greatest(n,1)-1 = 0 extra
+    // tokens and report their boundary pack twice
+    "q54_pack_offsets" ->
+      s"""WITH tk AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n
+            FROM documents),
+          c AS (
+            SELECT doc_id, n,
+                   COALESCE(sum(n + 1) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+            FROM tk)
+          SELECT doc_id AS id, n AS n_tokens, CAST(start AS BIGINT) AS start_tok,
+                 CAST(start // 512 AS BIGINT) AS pack_first,
+                 CAST((start + greatest(n, 1) - 1) // 512 AS BIGINT) AS pack_last
+          FROM c ORDER BY id""",
 
     // q53: both 8-gram sets (lowercased whitespace tokens, space-joined)
     // and the overlap semi-join re-derived in DuckDB with the zip-unnest

@@ -183,6 +183,47 @@ object Corpus {
     *         for EVERY input doc; cluster_id = the doc's near-dup cluster
     *         root (its own id when unclustered)
     */
+  /** GPT-style sequence-packing offsets: concatenate the corpus in id
+    * order (each doc occupying `n_tokens + sepTokens` slots — the
+    * separator the tokenizer inserts between documents) and slice the
+    * stream into fixed `budget`-token context windows. Emits, for EVERY
+    * doc, its global token offset and the first/last pack (window) its
+    * tokens land in — the exact map a training-data writer needs to
+    * materialize packed sequences, and the packing semantics GPT-2/3
+    * training actually uses (concatenate-then-chunk; docs straddle window
+    * boundaries).
+    *
+    * Deterministic by construction: the order is the id, not arrival.
+    * Scale shape: the global cumulative sum runs through
+    * [[graft.plan.Frontier.withGlobalPrefixSum]] — value-pure range
+    * buckets, per-bucket sums, broadcast offsets — never a
+    * single-partition `Window.orderBy` cumsum (which would funnel the
+    * whole corpus through one task). Pack ids are exact integral division
+    * (`DIV`), no float rounding at 10^13-token offsets.
+    *
+    * @return (id, n_tokens, start_tok, pack_first, pack_last); an empty
+    *         doc spans zero tokens and reports its boundary pack for both
+    */
+  def packOffsets(
+      docs: DataFrame,
+      budget: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      sepTokens: Int = 0,
+      partitions: Int = 32): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(sepTokens >= 0, "sepTokens must be non-negative")
+    val slim = docs.select(
+      col(idCol).cast("long").as("id"),
+      size(TextFns.tokens(col(textCol))).cast("long").as("n_tokens"),
+      (size(TextFns.tokens(col(textCol))) + sepTokens).cast("long").as("__slot"))
+    graft.plan.Frontier.withGlobalPrefixSum(slim, "id", "__slot", "start_tok", partitions)
+      .withColumn("pack_first", expr(s"start_tok DIV $budget"))
+      .withColumn("pack_last",
+        expr(s"(start_tok + greatest(n_tokens, 1L) - 1L) DIV $budget"))
+      .select("id", "n_tokens", "start_tok", "pack_first", "pack_last")
+  }
+
   def cleanWithNearDup(
       docs: DataFrame,
       pairSources: Seq[DataFrame],

@@ -115,6 +115,57 @@ object Frontier {
     * date/timestamp — every rank key in this library).
     */
   def withGlobalRank(df: DataFrame, orderCol: String, rankCol: String, partitions: Int): DataFrame = {
+    val withPid = withValueBuckets(df, orderCol, partitions)
+    val counts = withPid.groupBy("__pid").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts
+      .scanLeft((0, 0L)) { case ((_, acc), (pid, c)) => (pid, acc + c) }
+      .sliding(2).collect { case Array((_, off), (pid, _)) => pid -> off }.toSeq
+    // P offset rows ride a broadcast join, not an O(P) when-chain (Catalyst
+    // expression depth would become the scale limit)
+    import df.sparkSession.implicits._
+    val offsetsDf = offsets.toDF("__opid", "__off")
+    val w = Window.partitionBy("__pid").orderBy(orderCol)
+    withPid
+      .join(broadcast(offsetsDf), col("__pid") === col("__opid"), "left")
+      .withColumn(rankCol,
+        row_number().over(w).cast("long") - 1 + coalesce(col("__off"), lit(0L)))
+      .drop("__pid", "__opid", "__off")
+  }
+
+  /** Exact, scalable global EXCLUSIVE prefix sum of `valueCol` (cast to
+    * long) in `orderCol` order — `outCol` = sum of all earlier rows'
+    * values, 0 for the first row. Same machinery as [[withGlobalRank]]
+    * (value-pure buckets → per-bucket sums → broadcast offsets →
+    * per-bucket window), every stage parallel; same contract: `orderCol`
+    * values must be unique (ties share a bucket and have no defined
+    * order). The training-data consumer is [[graft.pipeline.Corpus]]'s
+    * sequence packing — a single-partition `Window.orderBy` cumsum would
+    * funnel the whole corpus through one task.
+    */
+  def withGlobalPrefixSum(
+      df: DataFrame, orderCol: String, valueCol: String, outCol: String,
+      partitions: Int): DataFrame = {
+    val withPid = withValueBuckets(df, orderCol, partitions)
+    val sums = withPid.groupBy("__pid")
+      .agg(coalesce(sum(col(valueCol).cast("long")), lit(0L)).as("__s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = sums
+      .scanLeft((0, 0L)) { case ((_, acc), (pid, s)) => (pid, acc + s) }
+      .sliding(2).collect { case Array((_, off), (pid, _)) => pid -> off }.toSeq
+    import df.sparkSession.implicits._
+    val offsetsDf = offsets.toDF("__opid", "__off")
+    val w = Window.partitionBy("__pid").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withPid
+      .join(broadcast(offsetsDf), col("__pid") === col("__opid"), "left")
+      .withColumn(outCol,
+        sum(col(valueCol).cast("long")).over(w) - col(valueCol).cast("long")
+          + coalesce(col("__off"), lit(0L)))
+      .drop("__pid", "__opid", "__off")
+  }
+
+  private[graft] def withValueBuckets(df: DataFrame, orderCol: String, partitions: Int): DataFrame = {
     // The range-bucket id is a PURE FUNCTION OF THE ORDER VALUE — boundaries
     // are collected once from a deterministic hash-sample and baked in as
     // literals — NOT spark_partition_id() after repartitionByRange. That
@@ -175,22 +226,7 @@ object Frontier {
     // array is `partitions`-sized (bounded), evaluated in codegen per row
     val pidExpr = if (bnds.isEmpty) lit(0)
       else size(filter(array(bnds.map(lit(_)): _*), b => b <= col(orderCol)))
-    val withPid = df.withColumn("__pid", pidExpr)
-    val counts = withPid.groupBy("__pid").count().collect()
-      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets = counts
-      .scanLeft((0, 0L)) { case ((_, acc), (pid, c)) => (pid, acc + c) }
-      .sliding(2).collect { case Array((_, off), (pid, _)) => pid -> off }.toSeq
-    // P offset rows ride a broadcast join, not an O(P) when-chain (Catalyst
-    // expression depth would become the scale limit)
-    import df.sparkSession.implicits._
-    val offsetsDf = offsets.toDF("__opid", "__off")
-    val w = Window.partitionBy("__pid").orderBy(orderCol)
-    withPid
-      .join(broadcast(offsetsDf), col("__pid") === col("__opid"), "left")
-      .withColumn(rankCol,
-        row_number().over(w).cast("long") - 1 + coalesce(col("__off"), lit(0L)))
-      .drop("__pid", "__opid", "__off")
+    df.withColumn("__pid", pidExpr)
   }
 
   /** Round-robin shard assignment with exact reference parity

@@ -70,6 +70,25 @@ class CorpusSpec extends SparkSpec {
     assert(nd.find(_._1 == 1L).get._2 === "kept")
   }
 
+  test("packOffsets: concatenate-then-chunk map, straddling docs, separators, empty docs") {
+    val docs = Seq(
+      (1L, "a b c"), (2L, "d e"), (3L, "f g h i"), (4L, ""), (5L, "j")
+    ).toDF("doc_id", "text")
+    // budget 4, no separators: starts 0,3,5,9,9
+    val out = Corpus.packOffsets(docs, budget = 4).orderBy("id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, 3L, 0L, 0L, 0L), // [0,3) in pack 0
+      (2L, 2L, 3L, 0L, 1L), // [3,5) straddles packs 0-1
+      (3L, 4L, 5L, 1L, 2L), // [5,9) straddles packs 1-2
+      (4L, 0L, 9L, 2L, 2L), // empty doc: boundary pack both
+      (5L, 1L, 9L, 2L, 2L)))
+    // one separator slot after each doc shifts every later start by +1/doc
+    val sep = Corpus.packOffsets(docs, budget = 4, sepTokens = 1).orderBy("id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(sep.map(_._3) === Seq(0L, 4L, 7L, 12L, 13L))
+  }
+
   test("maxTokens bound fires; thresholds are parameters") {
     val long = (1 to 20).map(i => s"tok$i").mkString(" ")
     val docs = Seq((1L, long)).toDF("doc_id", "text")
