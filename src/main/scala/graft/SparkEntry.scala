@@ -637,7 +637,7 @@ object SparkEntry {
       // already exactly gated by q35/q40, and the trained-model recall
       // floor at this same 16/4 shape is spec-pinned in AnnSpec.)
       val emb = t(s, dir, "embeddings")
-      val dim = emb.select(size(col("embedding"))).head.getInt(0)
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
       val cents = Array.tabulate(16, dim)((l, d) => (((l * 37 + d * 17) % 101) - 50) / 50.0)
       val queries = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
@@ -797,6 +797,33 @@ object SparkEntry {
       val docs = t(s, dir, "documents").select("doc_id", "text")
       graft.pipeline.Decontaminate.contaminationFlags(
         docs, docs.filter(col("doc_id") % 97 === 0))
+        .orderBy("id")
+    }),
+
+    "q55_lm_xent" -> ((s, dir) => {
+      // CCNet-style LM quality scoring under the gate: an add-one-smoothed
+      // bigram model is trained on the doc_id % 7 == 0 reference slice
+      // (SF-proportional) and EVERY doc is scored by per-token
+      // cross-entropy — including two planted probes: a mixed OOV/seen doc
+      // that exercises all four smoothing branches (seen/unseen prefix ×
+      // seen/unseen continuation) and an empty doc (0 tokens ⇒ xent 0.0
+      // by contract). The DuckDB oracle retrains the ENTIRE model and
+      // rescores from scratch — pair counts, prefix sums, vocabulary size
+      // and logs; nothing is golden.
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val planted = {
+        import s.implicits._
+        lmFixture.toDF("doc_id", "text")
+      }
+      // ONE scratch dir keyed by the query (the q40 precedent) — a fresh
+      // createTempDirectory per invocation would leak one model dir per
+      // Verify/Bench run
+      val lmDir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft-lm-model-q55").toString
+      graft.pipeline.LmScore.crossEntropy(
+        docs.unionByName(planted),
+        docs.filter(col("doc_id") % 7 === 0),
+        workDir = Some(lmDir))
         .orderBy("id")
     }),
 
@@ -1396,6 +1423,44 @@ object SparkEntry {
     // fit SIGNED 64-bit in both engines, no sign-wrap dance), reduced
     // mod 10000 and compared to round(weight*10000) from the same shared
     // weights data
+    // q55: the oracle retrains the whole bigram model (BOS-prepended
+    // pairs, counts, prefix sums, vocab size) over the same reference
+    // slice and rescores every doc with the same add-one formula —
+    // identical integer-ratio ln arguments in both engines, so round(4)
+    // sits 10 orders of magnitude above any libm/summation-order ulp
+    "q55_lm_xent" -> {
+      val plantedSql = lmFixture
+        .map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }.mkString(", ")
+      s"""WITH rtk AS (
+            SELECT list_prepend('', list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS tk
+            FROM documents WHERE doc_id % 7 = 0),
+          bi AS (
+            SELECT tk[j] AS p, tk[j + 1] AS w, count(*) AS c2
+            FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS j FROM rtk)
+            GROUP BY 1, 2),
+          cpt AS (SELECT p, sum(c2) AS cpn FROM bi GROUP BY 1),
+          vv AS (SELECT count(DISTINCT w) AS v FROM bi),
+          alld(doc_id, text) AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL SELECT * FROM (VALUES $plantedSql) pl(doc_id, text)),
+          dtk AS (
+            SELECT doc_id, list_prepend('', list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS tk
+            FROM alld),
+          dp AS (
+            SELECT doc_id, tk[j] AS p, tk[j + 1] AS w
+            FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS j FROM dtk)),
+          sc AS (
+            SELECT dp.doc_id,
+                   ln((COALESCE(bi.c2, 0) + 1)::DOUBLE / (COALESCE(cpt.cpn, 0) + vv.v)) AS lp
+            FROM dp LEFT JOIN bi USING (p, w) LEFT JOIN cpt USING (p) CROSS JOIN vv),
+          ag AS (
+            SELECT doc_id, count(*) AS n_tokens, round(-sum(lp) / count(*), 4) AS xent
+            FROM sc GROUP BY 1)
+          SELECT d.doc_id AS id, CAST(COALESCE(ag.n_tokens, 0) AS BIGINT) AS n_tokens,
+                 COALESCE(ag.xent, 0.0) AS xent
+          FROM alld d LEFT JOIN ag USING (doc_id) ORDER BY id"""
+    },
+
     "q52_stratified_sample" -> {
       val wSql = sampleWeights
         .map { case (s, w) => s"('$s', ${math.round(w * 10000)})" }
@@ -1813,6 +1878,18 @@ object SparkEntry {
     */
   private val sampleWeights: Seq[(String, Double)] =
     Seq("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1, "es" -> 1.0)
+
+  /** LM-scoring probes shared by the q55 query and its oracle: a mixed
+    * OOV/seen doc whose four transitions hit every add-one smoothing
+    * branch — (BOS, zxqv) seen prefix/unseen word, (zxqv, table) unseen
+    * prefix/seen word, (table, zxqv) seen prefix/unseen word with a real
+    * prefix count, (zxqv, zxqv) fully unseen — and an empty doc (0 tokens,
+    * xent 0.0 by contract). `zxqv` appears nowhere in the synthetic vocab.
+    */
+  private val lmFixture: Seq[(Long, String)] = {
+    val off = 1L << 40
+    Seq((off + 41, "zxqv table zxqv zxqv"), (off + 42, ""))
+  }
 
   /** Planted multi-line docs shared by the q51 query and its oracle —
     * distinctive `zzfix` tokens keep them disjoint from real doc texts at

@@ -200,7 +200,7 @@ object Clusters {
         threshold = threshold, maxBucket = maxBucket)),
       idCol)
 
-  private def deleteRecursively(conf: org.apache.hadoop.conf.Configuration, path: String): Unit = {
+  private[graft] def deleteRecursively(conf: org.apache.hadoop.conf.Configuration, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(conf).delete(p, true): Unit
   }
@@ -212,7 +212,7 @@ object Clusters {
     new java.util.concurrent.ConcurrentLinkedQueue[(org.apache.hadoop.conf.Configuration, String)]()
   private val cleanupHookArmed = new java.util.concurrent.atomic.AtomicBoolean(false)
 
-  private def registerScratchCleanup(
+  private[graft] def registerScratchCleanup(
       conf: org.apache.hadoop.conf.Configuration, dir: String): Unit = {
     pendingScratch.add((conf, dir))
     if (cleanupHookArmed.compareAndSet(false, true))

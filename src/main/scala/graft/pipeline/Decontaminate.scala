@@ -42,7 +42,7 @@ object Decontaminate {
       benchTextCol: String = "text"): DataFrame = {
     require(n > 0, "n must be positive")
     def grams(df: DataFrame, c: String) = df
-      .select(df.columns.map(col) :+ TextFns.loweredTokens(col(c)).as("__ltk"): _*)
+      .select(df.columns.toIndexedSeq.map(col) :+ TextFns.loweredTokens(col(c)).as("__ltk"): _*)
       .select(col("*"), explode(TextFns.ngrams(col("__ltk"), n)).as("__g"))
     val bg = grams(benchmark, benchTextCol).select("__g").distinct()
     val hits = grams(docs.select(col(idCol).cast("long").as("id"), col(textCol)), textCol)
