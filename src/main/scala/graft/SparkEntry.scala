@@ -827,6 +827,52 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "q56_dsir_weights" -> ((s, dir) => {
+      // DSIR importance weights under the gate: hashed unigram+bigram
+      // features (md5 60-bit buckets, B=4096), target model trained on the
+      // doc_id % 7 == 0 slice, raw model on the full scored corpus — the
+      // published recipe's default. Planted probes: an empty doc (0 feats
+      // ⇒ logw 0.0 by contract), an all-OOV doc (negative weight — its
+      // features exist only in the raw model, via itself) and a mixed
+      // seen/OOV doc. The DuckDB oracle retrains BOTH models and
+      // recomputes every weight from scratch — buckets, counts, totals,
+      // logs; nothing is golden.
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val planted = {
+        import s.implicits._
+        dsirFixture.toDF("doc_id", "text")
+      }
+      // ONE scratch dir keyed by the query (the q40/q55 precedent)
+      val dsirDir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft-dsir-model-q56").toString
+      graft.pipeline.Dsir.importanceWeights(
+        docs.unionByName(planted),
+        docs.filter(col("doc_id") % 7 === 0),
+        buckets = 4096,
+        workDir = Some(dsirDir))
+        .orderBy("id")
+    }),
+
+    "q57_quality_score" -> ((s, dir) => {
+      // fastText-shaped quality scoring under the gate: the hashed-feature
+      // linear APPLY path (the part that runs at corpus scale) over the
+      // deterministic md5-derived stand-in model, so the oracle can
+      // regenerate the model AND rescore every doc from scratch. Planted
+      // probes: an empty doc (0 feats ⇒ score sigmoid(bias) = 0.5, keep
+      // true at the ≥ boundary) and a repeated-feature doc (multiplicity
+      // must count).
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val planted = {
+        import s.implicits._
+        qcFixture.toDF("doc_id", "text")
+      }
+      graft.pipeline.QualityClassifier.scoreWith(
+        docs.unionByName(planted),
+        graft.pipeline.QualityClassifier.hashModel(s, 4096),
+        buckets = 4096)
+        .orderBy("id")
+    }),
+
     "q52_stratified_sample" -> ((s, dir) => {
       // deterministic mixture sampling under the gate: the documents table
       // downsampled per language at the shared sampleWeights (zh absent →
@@ -1461,6 +1507,88 @@ object SparkEntry {
           FROM alld d LEFT JOIN ag USING (doc_id) ORDER BY id"""
     },
 
+    // q56: the oracle retrains BOTH hashed-feature models from scratch —
+    // unigram+bigram feature strings, 60-bit md5-prefix buckets mod 4096
+    // (the q52 hash technique), add-one-smoothed counts over target
+    // (doc_id % 7 = 0, real docs only — planted ids land ≡ 0 mod 7 but
+    // must NOT enter the target model) and raw (all scored docs), then
+    // recomputes every per-doc log-weight sum
+    "q56_dsir_weights" -> {
+      val plantedSql = dsirFixture
+        .map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }.mkString(", ")
+      s"""WITH alld(doc_id, text) AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL SELECT * FROM (VALUES $plantedSql) pl(doc_id, text)),
+          dtk AS (
+            SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS tk
+            FROM alld),
+          dfeat AS (
+            SELECT doc_id, f FROM (
+              SELECT doc_id, unnest(tk) AS f FROM dtk
+              UNION ALL
+              SELECT doc_id, tk[j] || ' ' || tk[j + 1] AS f
+              FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS j FROM dtk))),
+          db AS (
+            SELECT doc_id, ('0x' || substr(md5(f), 1, 15))::BIGINT % 4096 AS b
+            FROM dfeat),
+          tb AS (
+            SELECT b, count(*) AS ct FROM db
+            WHERE doc_id % 7 = 0 AND doc_id < 1099511627776 GROUP BY 1),
+          rb AS (SELECT b, count(*) AS cr FROM db GROUP BY 1),
+          tt AS (SELECT COALESCE(sum(ct), 0) AS nt FROM tb),
+          rt AS (SELECT COALESCE(sum(cr), 0) AS nr FROM rb),
+          sc AS (
+            SELECT db.doc_id,
+                   ln((COALESCE(tb.ct, 0) + 1)::DOUBLE / (tt.nt + 4096)) -
+                   ln((COALESCE(rb.cr, 0) + 1)::DOUBLE / (rt.nr + 4096)) AS d
+            FROM db LEFT JOIN tb USING (b) LEFT JOIN rb USING (b)
+            CROSS JOIN tt CROSS JOIN rt),
+          ag AS (
+            SELECT doc_id, count(*) AS n_feats, round(sum(d), 4) AS logw
+            FROM sc GROUP BY 1)
+          SELECT a.doc_id AS id, CAST(COALESCE(ag.n_feats, 0) AS BIGINT) AS n_feats,
+                 COALESCE(ag.logw, 0.0) AS logw
+          FROM alld a LEFT JOIN ag USING (doc_id) ORDER BY id"""
+    },
+
+    // q57: the oracle regenerates the md5-derived linear model (weight(b)
+    // = (60-bit md5 prefix of 'w:graft:<b>' mod 2001 − 1000) / 1000) and
+    // rescores every doc — feature buckets, weight sums, sigmoid, the
+    // ≥ 0.5 keep verdict
+    "q57_quality_score" -> {
+      val plantedSql = qcFixture
+        .map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }.mkString(", ")
+      s"""WITH alld(doc_id, text) AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL SELECT * FROM (VALUES $plantedSql) pl(doc_id, text)),
+          dtk AS (
+            SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS tk
+            FROM alld),
+          dfeat AS (
+            SELECT doc_id, f FROM (
+              SELECT doc_id, unnest(tk) AS f FROM dtk
+              UNION ALL
+              SELECT doc_id, tk[j] || ' ' || tk[j + 1] AS f
+              FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS j FROM dtk))),
+          db AS (
+            SELECT doc_id, ('0x' || substr(md5(f), 1, 15))::BIGINT % 4096 AS b
+            FROM dfeat),
+          wt AS (
+            SELECT doc_id,
+                   ((('0x' || substr(md5('w:graft:' || CAST(b AS VARCHAR)), 1, 15))::BIGINT
+                     % 2001 - 1000) / 1000.0) AS w
+            FROM db),
+          ag AS (
+            SELECT doc_id, count(*) AS n_feats, sum(w) AS sw
+            FROM wt GROUP BY 1),
+          sc AS (
+            SELECT a.doc_id AS id, CAST(COALESCE(ag.n_feats, 0) AS BIGINT) AS n_feats,
+                   round(1.0 / (1.0 + exp(-(COALESCE(ag.sw / ag.n_feats, 0.0)))), 4) AS score
+            FROM alld a LEFT JOIN ag USING (doc_id))
+          SELECT id, n_feats, score, score >= 0.5 AS keep
+          FROM sc ORDER BY id"""
+    },
+
     "q52_stratified_sample" -> {
       val wSql = sampleWeights
         .map { case (s, w) => s"('$s', ${math.round(w * 10000)})" }
@@ -1889,6 +2017,33 @@ object SparkEntry {
   private val lmFixture: Seq[(Long, String)] = {
     val off = 1L << 40
     Seq((off + 41, "zxqv table zxqv zxqv"), (off + 42, ""))
+  }
+
+  /** DSIR probes shared by the q56 query and its oracle: an empty doc
+    * (0 features ⇒ logw 0.0 by contract) whose id also lands ≡ 0 mod 7 —
+    * proving planted docs never leak into the target model; an all-OOV
+    * repeated-token doc (its features exist only in the raw model, via
+    * itself ⇒ negative weight, multiplicity counted); and a mixed
+    * seen/OOV doc. `zxqvdsir` appears nowhere in the synthetic vocab.
+    */
+  private val dsirFixture: Seq[(Long, String)] = {
+    val off = 1L << 40
+    Seq(
+      (off + 61, ""),
+      (off + 62, "zxqvdsir zxqvdsir zxqvdsir"),
+      (off + 63, "table scan zxqvdsir"))
+  }
+
+  /** Quality-classifier probes shared by the q57 query and its oracle: an
+    * empty doc (0 features ⇒ score sigmoid(bias) = 0.5, keep TRUE at the
+    * ≥ boundary) and a repeated-feature doc (bucket multiplicity must
+    * weigh twice in the average).
+    */
+  private val qcFixture: Seq[(Long, String)] = {
+    val off = 1L << 40
+    Seq(
+      (off + 71, ""),
+      (off + 72, "table scan table scan"))
   }
 
   /** Planted multi-line docs shared by the q51 query and its oracle —
