@@ -827,6 +827,49 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "q58_bpe_word_counts" -> ((s, dir) => {
+      // the CORPUS-SCALE phase of BPE tokenizer-vocabulary induction under
+      // the gate: the global word-frequency table capped to the top-V by
+      // (freq desc, word) — a total order, so the cut is deterministic
+      // through frequency ties at the boundary (V=25 < the ~43-word
+      // synthetic vocab forces the boundary to bite). The merge loop runs
+      // over THIS table (model-sized, driver-side by design — the IVF
+      // centroid-training precedent) and is proven by BpeSpec's
+      // hand-worked Sennrich example; this gate pins the distributed input
+      // it consumes.
+      graft.pipeline.BpeVocab.wordCounts(
+        t(s, dir, "documents"), maxWords = 25)
+    }),
+
+    "q59_ccnet_buckets" -> ((s, dir) => {
+      // the full CCNet §4.3 composition under the gate: every doc LM-scored
+      // (the q55 machinery — same reference slice, same one-scratch-dir
+      // model reuse), then split per LANGUAGE into head/middle/tail by
+      // exact integer rank arithmetic (bucket = (3·r) DIV n with r = count
+      // of strictly-smaller same-language scores — ties share a bucket, so
+      // no float threshold and no per-doc tie-break exists to drift
+      // cross-engine). Planted probes: two identical en docs (an exact
+      // score tie that must land in ONE bucket), an empty de doc (xent 0.0
+      // ⇒ the head of its language) and a mixed fr doc. The oracle
+      // retrains the LM, rescores every doc AND re-derives every bucket
+      // from scratch.
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+      val planted = {
+        import s.implicits._
+        ccnetFixture.toDF("doc_id", "text", "lang")
+      }
+      val all = docs.unionByName(planted)
+      val lmDir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft-lm-model-q59").toString
+      val scored = graft.pipeline.LmScore.crossEntropy(
+        all, docs.filter(col("doc_id") % 7 === 0), workDir = Some(lmDir))
+      val withLang = scored.join(
+        all.select(col("doc_id").cast("long").as("id"), col("lang")), Seq("id"))
+      graft.pipeline.LmScore.perplexityBuckets(withLang)
+        .select("id", "lang", "n_tokens", "xent", "bucket", "bucket_label")
+        .orderBy("id")
+    }),
+
     "q56_dsir_weights" -> ((s, dir) => {
       // DSIR importance weights under the gate: hashed unigram+bigram
       // features (md5 60-bit buckets, B=4096), target model trained on the
@@ -1507,6 +1550,71 @@ object SparkEntry {
           FROM alld d LEFT JOIN ag USING (doc_id) ORDER BY id"""
     },
 
+    // q58: the oracle recounts the corpus word-frequency table with the
+    // same tokenizer SQL the q17/q55 gates pin and re-derives the same
+    // total-ordered top-V cut
+    "q58_bpe_word_counts" ->
+      s"""SELECT f AS word, count(*) AS freq FROM (
+            SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS f
+            FROM documents) q0
+          GROUP BY 1
+          ORDER BY freq DESC, word LIMIT 25""",
+
+    // q59: the oracle retrains the whole q55 bigram LM, rescores every doc
+    // (same CTE chain, lang carried through), then re-derives the per-
+    // language head/middle/tail buckets from the strictly-smaller-score
+    // histogram prefix and integer division — nothing is golden
+    "q59_ccnet_buckets" -> {
+      val plantedSql = ccnetFixture
+        .map { case (id, t, l) => s"(CAST($id AS BIGINT), '$t', '$l')" }.mkString(", ")
+      s"""WITH rtk AS (
+            SELECT list_prepend('', list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS tk
+            FROM documents WHERE doc_id % 7 = 0),
+          bi AS (
+            SELECT tk[j] AS p, tk[j + 1] AS w, count(*) AS c2
+            FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS j FROM rtk)
+            GROUP BY 1, 2),
+          cpt AS (SELECT p, sum(c2) AS cpn FROM bi GROUP BY 1),
+          vv AS (SELECT count(DISTINCT w) AS v FROM bi),
+          alld(doc_id, text, lang) AS (
+            SELECT doc_id, text, lang FROM documents
+            UNION ALL SELECT * FROM (VALUES $plantedSql) pl(doc_id, text, lang)),
+          dtk AS (
+            SELECT doc_id, list_prepend('', list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS tk
+            FROM alld),
+          dp AS (
+            SELECT doc_id, tk[j] AS p, tk[j + 1] AS w
+            FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS j FROM dtk)),
+          lsc AS (
+            SELECT dp.doc_id,
+                   ln((COALESCE(bi.c2, 0) + 1)::DOUBLE / (COALESCE(cpt.cpn, 0) + vv.v)) AS lp
+            FROM dp LEFT JOIN bi USING (p, w) LEFT JOIN cpt USING (p) CROSS JOIN vv),
+          ag AS (
+            SELECT doc_id, count(*) AS n_tokens, round(-sum(lp) / count(*), 4) AS xent
+            FROM lsc GROUP BY 1),
+          scored AS (
+            SELECT a.doc_id AS id, a.lang,
+                   CAST(COALESCE(ag.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   COALESCE(ag.xent, 0.0) AS xent
+            FROM alld a LEFT JOIN ag USING (doc_id)),
+          hist AS (SELECT lang, xent, count(*) AS c FROM scored GROUP BY 1, 2),
+          pre AS (
+            SELECT lang, xent, COALESCE(sum(c) OVER (
+                   PARTITION BY lang ORDER BY xent
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r
+            FROM hist),
+          tot AS (SELECT lang, count(*) AS n FROM scored GROUP BY 1)
+          SELECT s.id, s.lang, s.n_tokens, s.xent,
+                 CAST((3 * p.r) // t.n AS BIGINT) AS bucket,
+                 CASE WHEN (3 * p.r) // t.n = 0 THEN 'head'
+                      WHEN (3 * p.r) // t.n = 2 THEN 'tail'
+                      ELSE 'middle' END AS bucket_label
+          FROM scored s
+          JOIN pre p ON s.lang = p.lang AND s.xent = p.xent
+          JOIN tot t ON s.lang = t.lang
+          ORDER BY s.id"""
+    },
+
     // q56: the oracle retrains BOTH hashed-feature models from scratch —
     // unigram+bigram feature strings, 60-bit md5-prefix buckets mod 4096
     // (the q52 hash technique), add-one-smoothed counts over target
@@ -2032,6 +2140,21 @@ object SparkEntry {
       (off + 61, ""),
       (off + 62, "zxqvdsir zxqvdsir zxqvdsir"),
       (off + 63, "table scan zxqvdsir"))
+  }
+
+  /** CCNet-bucketing probes shared by the q59 query and its oracle: two
+    * byte-identical en docs (an exact cross-entropy tie — the bucket rule
+    * must put them in ONE bucket), an empty de doc (xent 0.0 ⇒ its
+    * language's head) and a mixed seen/OOV fr doc. `zxqvccnet` appears
+    * nowhere in the synthetic vocab.
+    */
+  private val ccnetFixture: Seq[(Long, String, String)] = {
+    val off = 1L << 40
+    Seq(
+      (off + 81, "zxqvccnet alpha zxqvccnet", "en"),
+      (off + 82, "zxqvccnet alpha zxqvccnet", "en"),
+      (off + 83, "", "de"),
+      (off + 84, "table scan zxqvccnet", "fr"))
   }
 
   /** Quality-classifier probes shared by the q57 query and its oracle: an

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
@@ -101,6 +102,56 @@ object LmScore {
       .select(col("id"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("xent"), lit(0.0)).as("xent"))
+  }
+
+  /** CCNet-style head/middle/tail bucketing (Wenzek et al. 2020 §4.3):
+    * split each language's documents into `nBuckets` equal score bands —
+    * head = lowest cross-entropy (most target-like), tail = highest — so a
+    * pipeline can keep the head, sample the middle and drop the tail.
+    * Generic over any (id, group, score) frame; feed it [[scoreWith]]
+    * output for the published recipe.
+    *
+    * Bucketing rule (exact integer arithmetic, no float thresholds — what
+    * lets the q59 DuckDB oracle recompute every verdict): with r = count
+    * of same-group docs with STRICTLY smaller score and n = group size,
+    *   bucket = (nBuckets * r) DIV n ∈ [0, nBuckets−1]
+    * Ties share r and therefore a bucket (equal-perplexity docs never
+    * straddle a boundary — and no per-doc tie-break order is needed, which
+    * is what keeps the shape scalable).
+    *
+    * Scale shape: the per-doc work is one keyed histogram aggregation
+    * (partial combine), one equi-join back on (group, score) and a
+    * row-local DIV — never an ntile/row_number window over the documents
+    * (one task per language at 10^10 docs). The only window runs over the
+    * HISTOGRAM — distinct (group, score) pairs, ≤ ~2·10^5 per group when
+    * scores are round(4) cross-entropies in [0, 20] — the same documented
+    * bounded-intermediate contract as `maxBucket`. A score column with
+    * unbounded distinct values (raw unrounded doubles) degrades the
+    * histogram toward corpus size — round scores first, as [[scoreWith]]
+    * already does.
+    */
+  def perplexityBuckets(
+      scored: DataFrame,
+      nBuckets: Int = 3,
+      groupCol: String = "lang",
+      scoreCol: String = "xent"): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val hist = scored.groupBy(groupCol, scoreCol).agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(groupCol).orderBy(scoreCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pre = hist
+      .withColumn("__r", coalesce(sum(col("__c")).over(w), lit(0L)))
+      .drop("__c")
+    val totals = scored.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+    scored
+      .join(pre, Seq(groupCol, scoreCol))
+      .join(totals, Seq(groupCol))
+      .withColumn("bucket", expr(s"($nBuckets * __r) DIV __n"))
+      .withColumn("bucket_label",
+        when(col("bucket") === 0, "head")
+          .when(col("bucket") === nBuckets - 1, "tail")
+          .otherwise("middle"))
+      .drop("__r", "__n")
   }
 
   /** One-call train-then-score composition (the q55 gate shape). The

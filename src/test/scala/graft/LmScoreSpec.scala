@@ -64,4 +64,51 @@ class LmScoreSpec extends SparkSpec {
       .as[(Long, Double)].collect().toMap
     assert(m(1L) < m(2L), s"head text must beat gibberish: $m")
   }
+
+  // ------------------------------------------- CCNet head/middle/tail
+
+  private def buckets(rows: Seq[(Long, String, Double)]): Map[Long, (Long, String)] =
+    LmScore.perplexityBuckets(rows.toDF("id", "lang", "xent"))
+      .select("id", "bucket", "bucket_label")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+  test("perplexityBuckets: six distinct scores split exactly into thirds") {
+    val b = buckets((1 to 6).map(i => (i.toLong, "en", i.toDouble)))
+    assert(b === Map(
+      1L -> (0L, "head"), 2L -> (0L, "head"),
+      3L -> (1L, "middle"), 4L -> (1L, "middle"),
+      5L -> (2L, "tail"), 6L -> (2L, "tail")))
+  }
+
+  test("perplexityBuckets: ties share a bucket and never straddle a boundary") {
+    // three tied minima (n/3 = 2 would split them under ntile): r = 0 for
+    // all three => all head; 4.0 has r = 3 => (3*3) DIV 6 = 1 middle
+    val b = buckets(Seq(
+      (1L, "en", 1.0), (2L, "en", 1.0), (3L, "en", 1.0),
+      (4L, "en", 4.0), (5L, "en", 5.0), (6L, "en", 6.0)))
+    assert(b(1L) === ((0L, "head")) && b(2L) === b(1L) && b(3L) === b(1L))
+    assert(b(4L) === ((1L, "middle")))
+    assert(b(5L) === ((2L, "tail")) && b(6L) === ((2L, "tail")))
+  }
+
+  test("perplexityBuckets: languages bucket independently; singleton is head") {
+    val b = buckets(Seq(
+      (1L, "en", 9.0), (2L, "en", 10.0), (3L, "en", 11.0),
+      (4L, "de", 1.0)))
+    // en: one per band despite all scores exceeding de's
+    assert(b(1L)._2 === "head" && b(2L)._2 === "middle" && b(3L)._2 === "tail")
+    assert(b(4L) === ((0L, "head"))) // n = 1 => r = 0 => bucket 0
+  }
+
+  test("perplexityBuckets composes with crossEntropy: empty doc heads its language") {
+    val ref = (0 until 50).map(i => (i.toLong, "a b a")).toDF("doc_id", "text")
+    val docs = Seq((1L, "a b", "en"), (2L, "zz qq", "en"), (3L, "", "en"))
+      .toDF("doc_id", "text", "lang")
+    val scored = LmScore.crossEntropy(docs, ref)
+      .join(docs.selectExpr("CAST(doc_id AS LONG) AS id", "lang"), Seq("id"))
+    val out = LmScore.perplexityBuckets(scored)
+      .select("id", "bucket_label").as[(Long, String)].collect().toMap
+    assert(out(3L) === "head")  // xent 0.0 is the minimum
+    assert(out(2L) === "tail")  // OOV gibberish is the maximum
+  }
 }
