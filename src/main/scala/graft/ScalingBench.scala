@@ -35,6 +35,7 @@ object ScalingBench {
     // robots gate, fault injection, storage layout) would compare
     // incomparable runs and publish a fabricated efficiency ratio
     val knobs = Seq(
+      "parts=" + shufflePartitions,
       "hot=" + hotPermille,
       "maxper=" + sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXPERHOST", "200000"),
       "roundsec=" + sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDSEC", "25000"),
@@ -90,7 +91,9 @@ object ScalingBench {
              |rounds (bloom+exact dedup → robots → salted per-host politeness schedule →
              |fetch-join → extract → snapshot commit) until the frontier drains.
              |Same deterministic input at both parallelism levels;
-             |`spark.sql.shuffle.partitions` = cores; one fresh JVM per run;
+             |`spark.sql.shuffle.partitions` = $shufflePartitions at BOTH levels (data-sized,
+             |so the two legs run the identical physical plan and differ only
+             |in task slots); one fresh JVM per run;
              |best-of throughput per level ($reps) because the sandbox VM shows
              |2-4× co-tenant steal-time noise between identical runs (measured:
              |a pure-CPU 16-process probe swung 94.4 → 56.5 M loops/s run-to-run).
@@ -129,11 +132,26 @@ object ScalingBench {
   private def fmt3(d: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
 
+  /** Shuffle partition count for the scaling runs — a DATA-sized constant,
+    * NOT the core count. Two reasons, both scale lessons: (1) partition
+    * count must be sized so a partition fits executor memory (8M slim URLs
+    * / 32 ≈ 250k rows ≈ tens of MB — the SHUFFLE_HASH fetch-join build is
+    * comfortable at any level; at partitions=cores the local[4] leg held
+    * 2M-row builds, which is marginal at the default heap and OOM'd under
+    * co-tenant memory pressure, since hash builds cannot spill); (2) with
+    * the SAME partitioning at N and 4N the two legs run the IDENTICAL
+    * physical plan and differ only in task slots — the cleanest possible
+    * scaling comparison. 32 ≥ every measured core level, so no level
+    * loses parallelism to the floor.
+    */
+  val shufflePartitions: Int =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_PARTS", "32").toInt
+
   def runOnce(cpus: Int, nUrls: Long, nHosts: Int, hotPermille: Int): (Double, Long, Int) = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-scaling-$cpus")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       // don't let AQE coalesce the (MB-scale) sandbox shuffles below the

@@ -870,6 +870,128 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "q60_frontier_filter" -> ((s, dir) => {
+      // frontier admission gate under the gate: URLs synthesized from
+      // doc_id arithmetic (every 17th on a blocklisted TLD, path depth
+      // 1..12, param count 1..8), then blocklist suffix-JOIN + trap
+      // heuristics. The engine PARSES host/depth/params back out of the
+      // URL string (parse_url + regexp, the production path); the oracle
+      // re-parses with its own regexps and re-derives the suffix match
+      // with list machinery — nothing golden, precedence included.
+      import s.implicits._
+      val urls = t(s, dir, "documents").select(col("doc_id").as("id"))
+        .withColumn("url", expr(
+          """concat('https://',
+               CASE WHEN id % 17 = 0
+                    THEN concat('spam', CAST(id % 3 AS STRING), '.badtld')
+                    ELSE concat('host', CAST(id % 50 AS STRING), '.example.com') END,
+               '/',
+               repeat(concat('d', CAST(id % 5 AS STRING), '/'), CAST(id % 12 AS INT)),
+               'page',
+               concat('?a=', CAST(id % 10 AS STRING), repeat('&q=1', CAST(id % 8 AS INT))))"""))
+      val blocklist = Seq("badtld", "tracker.example.com").toDF("suffix")
+      graft.urls.UrlFilter.verdicts(urls, blocklist)
+        .select("id", "url", "host", "depth", "n_params", "verdict")
+        .orderBy("id")
+    }),
+
+    "q61_sitemap_ingest" -> ((s, dir) => {
+      // sitemap discovery under the gate: one XML sitemap per site
+      // (doc_id % 20), entries in doc_id order, every 5th doc omitting
+      // <lastmod> and every 7th omitting <priority>; the engine SPLITS the
+      // XML into entry blocks and regexp-parses each field back out, then
+      // anti-joins the already-seen URL set (doc_id % 3 == 0). The oracle
+      // never sees the XML — it re-derives every field analytically from
+      // the generation arithmetic (the q44 analytic-oracle move), so any
+      // parse drift (block splitting, optional-field NULLs, date/double
+      // casts, the anti-join) hash-mismatches.
+      val docs = t(s, dir, "documents").select("doc_id")
+      val entryXml = expr(
+        """concat('<url><loc>https://s', CAST(doc_id % 20 AS STRING), '.example.com/p',
+                  CAST(doc_id AS STRING), '</loc>',
+             CASE WHEN doc_id % 5 = 0 THEN ''
+                  ELSE concat('<lastmod>2026-0', CAST(1 + doc_id % 9 AS STRING), '-',
+                              lpad(CAST(1 + doc_id % 28 AS STRING), 2, '0'), '</lastmod>') END,
+             CASE WHEN doc_id % 7 = 0 THEN ''
+                  ELSE concat('<priority>0.', CAST(doc_id % 10 AS STRING), '</priority>') END,
+             '</url>')""")
+      val sitemaps = docs
+        .withColumn("site", col("doc_id") % 20)
+        .withColumn("e", entryXml)
+        .groupBy("site")
+        .agg(concat(lit("<urlset>"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("doc_id"), col("e")))),
+            x => x.getField("e")), ""),
+          lit("</urlset>")).as("xml"))
+      val entries = graft.plan.Sitemaps.parseEntries(sitemaps, "xml", keep = Seq("site"))
+      val seen = docs.filter(col("doc_id") % 3 === 0)
+        .select(concat(lit("https://s"), (col("doc_id") % 20).cast("string"),
+          lit(".example.com/p"), col("doc_id").cast("string")).as("loc"))
+      graft.plan.Sitemaps.unseenEntries(entries, seen)
+        .select(col("site"), col("entry_pos").cast("long").as("entry_pos"),
+          col("loc"), col("lastmod"), col("priority"))
+        .orderBy("site", "entry_pos")
+    }),
+
+    "q62_recrawl_schedule" -> ((s, dir) => {
+      // freshness scheduling under the gate: the events log plays the
+      // change-observation history (url_id = user_id % 500), and the
+      // Poisson rate, span and tier are recomputed from scratch by the
+      // oracle — epoch arithmetic, the 1-hour span floor, the singleton
+      // rate-0 contract and the tier thresholds all re-derived.
+      val obs = t(s, dir, "events")
+        .select((col("user_id") % 500).as("url_id"), col("ts"))
+      graft.politeness.Recrawl.schedule(obs).orderBy("url_id")
+    }),
+
+    "q63_host_budget" -> ((s, dir) => {
+      // largest-remainder budget apportionment under the gate: backlog =
+      // documents per host (doc_id % 37), budget 10000 — pure 64-bit
+      // integer arithmetic end to end (div, mod, remainder rank), so the
+      // oracle's recomputation must match bit-for-bit, including the
+      // deterministic (remainder desc, host asc) tie-break.
+      val backlog = t(s, dir, "documents")
+        .groupBy((col("doc_id") % 37).as("host"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.politeness.HostBudget.apportion(backlog, budget = 10000L)
+        .orderBy("host")
+    }),
+
+    "q64_frontier_plan" -> ((s, dir) => {
+      // the composed frontier-planning round under the gate: admission
+      // gate (q60 recipe) → per-host backlog → Hamilton apportionment of a
+      // 100-URL round budget → per-host top-alloc selection by priority
+      // (id % 100 desc, id asc). The oracle replays the ENTIRE chain —
+      // verdicts, backlog, integer apportionment, rank windows — so a
+      // drift anywhere in the composition flips the selected set.
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val urls = t(s, dir, "documents").select(col("doc_id").as("id"))
+        .withColumn("url", expr(
+          """concat('https://',
+               CASE WHEN id % 17 = 0
+                    THEN concat('spam', CAST(id % 3 AS STRING), '.badtld')
+                    ELSE concat('host', CAST(id % 50 AS STRING), '.example.com') END,
+               '/',
+               repeat(concat('d', CAST(id % 5 AS STRING), '/'), CAST(id % 12 AS INT)),
+               'page',
+               concat('?a=', CAST(id % 10 AS STRING), repeat('&q=1', CAST(id % 8 AS INT))))"""))
+      val blocklist = Seq("badtld", "tracker.example.com").toDF("suffix")
+      val ok = graft.urls.UrlFilter.verdicts(urls, blocklist)
+        .filter(col("verdict") === "ok")
+      val alloc = graft.politeness.HostBudget.apportion(
+        ok.groupBy("host").agg(count(lit(1)).as("cnt")), budget = 100L)
+      val byHost = Window.partitionBy("host")
+        .orderBy(col("prio").desc, col("id").asc)
+      ok.withColumn("prio", col("id") % 100)
+        .join(alloc.select("host", "alloc"), Seq("host"))
+        .withColumn("rk", row_number().over(byHost))
+        .filter(col("rk") <= col("alloc"))
+        .select(col("id"), col("host"), col("prio"))
+        .orderBy("id")
+    }),
+
     "q56_dsir_weights" -> ((s, dir) => {
       // DSIR importance weights under the gate: hashed unigram+bigram
       // features (md5 60-bit buckets, B=4096), target model trained on the
@@ -1614,6 +1736,151 @@ object SparkEntry {
           JOIN tot t ON s.lang = t.lang
           ORDER BY s.id"""
     },
+
+    // q60: URL synth, host/depth/param re-parse AND the blocklist
+    // suffix-match all re-derived in DuckDB (list_slice over the dot
+    // labels replays the suffix explosion; precedence order re-stated)
+    "q60_frontier_filter" ->
+      """WITH u AS (
+           SELECT doc_id AS id,
+             'https://' ||
+               CASE WHEN doc_id % 17 = 0
+                    THEN 'spam' || CAST(doc_id % 3 AS VARCHAR) || '.badtld'
+                    ELSE 'host' || CAST(doc_id % 50 AS VARCHAR) || '.example.com' END ||
+               '/' ||
+               repeat('d' || CAST(doc_id % 5 AS VARCHAR) || '/', CAST(doc_id % 12 AS INT)) ||
+               'page' ||
+               '?a=' || CAST(doc_id % 10 AS VARCHAR) || repeat('&q=1', CAST(doc_id % 8 AS INT)) AS url
+           FROM documents),
+         f AS (
+           SELECT id, url,
+             regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+             len(list_filter(string_split(
+               regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)', 1), '/'),
+               x -> x <> '')) AS depth,
+             CASE WHEN regexp_extract(url, '\?([^#]*)', 1) = '' THEN 0
+                  ELSE len(string_split(regexp_extract(url, '\?([^#]*)', 1), '&')) END AS n_params
+           FROM u),
+         bl AS (SELECT * FROM (VALUES ('badtld'), ('tracker.example.com')) AS t(suffix)),
+         blk AS (
+           SELECT DISTINCT id FROM f JOIN bl
+           ON list_contains(
+                list_transform(
+                  generate_series(1, len(string_split(host, '.'))),
+                  i -> array_to_string(
+                         list_slice(string_split(host, '.'), i, len(string_split(host, '.'))), '.')),
+                suffix))
+         SELECT f.id, f.url, f.host,
+                CAST(f.depth AS BIGINT) AS depth,
+                CAST(f.n_params AS BIGINT) AS n_params,
+                CASE WHEN blk.id IS NOT NULL THEN 'blocked'
+                     WHEN f.depth >= 9 THEN 'trap_depth'
+                     WHEN f.n_params >= 6 THEN 'trap_params'
+                     ELSE 'ok' END AS verdict
+         FROM f LEFT JOIN blk ON f.id = blk.id
+         ORDER BY f.id""",
+
+    // q61: the oracle NEVER parses XML — every field (loc, optional
+    // lastmod/priority, the per-site 0-based entry position, the seen
+    // anti-join) is re-derived analytically from the generation arithmetic
+    "q61_sitemap_ingest" ->
+      """WITH e AS (
+           SELECT doc_id % 20 AS site,
+                  row_number() OVER (PARTITION BY doc_id % 20 ORDER BY doc_id) - 1 AS entry_pos,
+                  'https://s' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/p'
+                    || CAST(doc_id AS VARCHAR) AS loc,
+                  CASE WHEN doc_id % 5 = 0 THEN NULL
+                       ELSE CAST(('2026-0' || CAST(1 + doc_id % 9 AS VARCHAR) || '-'
+                                  || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')) AS DATE) END AS lastmod,
+                  CASE WHEN doc_id % 7 = 0 THEN NULL
+                       ELSE CAST('0.' || CAST(doc_id % 10 AS VARCHAR) AS DOUBLE) END AS priority,
+                  doc_id
+           FROM documents)
+         SELECT site, CAST(entry_pos AS BIGINT) AS entry_pos, loc, lastmod, priority
+         FROM e WHERE doc_id % 3 <> 0
+         ORDER BY site, entry_pos""",
+
+    // q62: epoch deltas, the 1-hour span floor, the singleton rate-0
+    // contract and the tier thresholds recomputed from the events log;
+    // tz-naive vs instant timestamp semantics cancel in the differences.
+    // floor(epoch) pins DuckDB to WHOLE seconds — epoch(ts) is fractional
+    // (microseconds) while Spark's unix_timestamp truncates, and the
+    // sub-second tail flipped hours_span's 4th decimal
+    "q62_recrawl_schedule" ->
+      """WITH a AS (
+           SELECT user_id % 500 AS url_id, count(*) AS n_obs,
+                  min(CAST(floor(epoch(ts)) AS BIGINT)) AS first_s,
+                  max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_s
+           FROM events GROUP BY 1)
+         SELECT url_id, n_obs,
+                round((last_s - first_s) / 3600.0, 4) AS hours_span,
+                round(CASE WHEN n_obs <= 1 THEN 0.0
+                           ELSE (n_obs - 1) / greatest((last_s - first_s) / 3600.0, 1.0) END,
+                      6) AS lambda_per_hour,
+                CASE WHEN round(CASE WHEN n_obs <= 1 THEN 0.0
+                                     ELSE (n_obs - 1) / greatest((last_s - first_s) / 3600.0, 1.0) END,
+                           6) >= 0.1 THEN 'hot'
+                     WHEN round(CASE WHEN n_obs <= 1 THEN 0.0
+                                     ELSE (n_obs - 1) / greatest((last_s - first_s) / 3600.0, 1.0) END,
+                           6) >= 0.01 THEN 'warm'
+                     WHEN round(CASE WHEN n_obs <= 1 THEN 0.0
+                                     ELSE (n_obs - 1) / greatest((last_s - first_s) / 3600.0, 1.0) END,
+                           6) > 0.0 THEN 'cold'
+                     ELSE 'frozen' END AS revisit_tier
+         FROM a ORDER BY url_id""",
+
+    // q63: the Hamilton apportionment replayed in pure integer arithmetic
+    // (// and % over BIGINT/HUGEINT), including the (remainder desc, host
+    // asc) tie-break and the leftover distribution
+    "q63_host_budget" ->
+      """WITH b AS (SELECT doc_id % 37 AS host, count(*) AS cnt FROM documents GROUP BY 1),
+         t2 AS (SELECT host, cnt, (SELECT sum(cnt) FROM b) AS total FROM b),
+         c AS (SELECT host, cnt,
+                      (10000 * cnt) // total AS base,
+                      (10000 * cnt) % total AS rem
+               FROM t2),
+         d AS (SELECT host, cnt, base,
+                      row_number() OVER (ORDER BY rem DESC, host ASC) AS rk,
+                      (SELECT 10000 - sum(base) FROM c) AS leftover
+               FROM c)
+         SELECT host, cnt,
+                CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+         FROM d ORDER BY host""",
+
+    // q64: the whole planning chain replayed — q60's verdicts, the ok
+    // backlog, q63's integer apportionment at budget 100, and the
+    // per-host (priority desc, id asc) rank selection
+    "q64_frontier_plan" ->
+      """WITH u AS (
+           SELECT doc_id AS id,
+             CASE WHEN doc_id % 17 = 0
+                  THEN 'spam' || CAST(doc_id % 3 AS VARCHAR) || '.badtld'
+                  ELSE 'host' || CAST(doc_id % 50 AS VARCHAR) || '.example.com' END AS host,
+             CAST(doc_id % 12 AS INT) + 1 AS depth,
+             CAST(doc_id % 8 AS INT) + 1 AS n_params
+           FROM documents),
+         ok AS (
+           SELECT id, host FROM u
+           WHERE host NOT LIKE '%.badtld' AND depth < 9 AND n_params < 6),
+         b AS (SELECT host, count(*) AS cnt FROM ok GROUP BY 1),
+         t2 AS (SELECT host, cnt, (SELECT sum(cnt) FROM b) AS total FROM b),
+         c AS (SELECT host, cnt,
+                      (100 * cnt) // total AS base,
+                      (100 * cnt) % total AS rem
+               FROM t2),
+         d AS (SELECT host, base,
+                      row_number() OVER (ORDER BY rem DESC, host ASC) AS rk,
+                      (SELECT 100 - sum(base) FROM c) AS leftover
+               FROM c),
+         alloc AS (SELECT host, base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc FROM d),
+         ranked AS (
+           SELECT ok.id, ok.host, ok.id % 100 AS prio, alloc.alloc,
+                  row_number() OVER (PARTITION BY ok.host
+                                     ORDER BY ok.id % 100 DESC, ok.id ASC) AS rk
+           FROM ok JOIN alloc USING (host))
+         SELECT id, host, CAST(prio AS BIGINT) AS prio
+         FROM ranked WHERE rk <= alloc
+         ORDER BY id""",
 
     // q56: the oracle retrains BOTH hashed-feature models from scratch —
     // unigram+bigram feature strings, 60-bit md5-prefix buckets mod 4096

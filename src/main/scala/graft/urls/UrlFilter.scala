@@ -1,0 +1,99 @@
+package graft.urls
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Frontier URL filtering — the admission gate a production crawl runs
+  * BEFORE a URL is allowed to spend a politeness slot: domain blocklists
+  * (UT1-style ad/spam/tracker lists) and crawl-trap heuristics (unbounded
+  * calendar/path-loop/param-explosion URL spaces that would otherwise eat
+  * the per-host budget). The reference spider never needs this — its URL
+  * space is a closed date×currency cross product (CardRates
+  * `crawl.py:date_range`/`CurrencyCodes`) — but an open 10^10-URL
+  * Common-Crawl-style frontier admits hostile URL spaces, so the gate is
+  * a first-class frontier operator here.
+  *
+  * Scale shape: the blocklist match is a JOIN, not a literal predicate —
+  * real blocklists run to millions of domain suffixes (far past what an
+  * OR-chain literal can compile to), so each host explodes into its ≤ ~6
+  * registrable suffixes and joins the blocklist table on the suffix key.
+  * The explode multiplies the slim (id, suffix) stream only; with the
+  * default auto-broadcast threshold a small list broadcasts and the match
+  * is shuffle-free, while an UT1-scale list degrades gracefully to a
+  * shuffle join on the suffix key. Trap heuristics are pure codegen'd
+  * Column arithmetic over the URL string — no UDF, no shuffle.
+  */
+object UrlFilter {
+
+  /** Path component of `url` ('' when absent), excluding query/fragment. */
+  def pathCol(url: Column): Column =
+    regexp_extract(url, "^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)", 1)
+
+  /** Query string of `url` (after '?', before '#'; '' when absent). */
+  def queryCol(url: Column): Column =
+    regexp_extract(url, "\\?([^#]*)", 1)
+
+  /** Number of non-empty path segments. */
+  def depthCol(url: Column): Column =
+    size(filter(split(pathCol(url), "/"), x => x =!= lit(""))).cast("long")
+
+  /** Number of &-separated query parameters (0 for no query string). */
+  def nParamsCol(url: Column): Column = {
+    val q = queryCol(url)
+    when(q === "", lit(0L)).otherwise(size(split(q, "&")).cast("long"))
+  }
+
+  /** All dot-suffixes of `host`: a.b.c → [a.b.c, b.c, c]. The blocklist
+    * join key — a list entry `b.c` must block every subdomain of b.c,
+    * which is exactly "some suffix of the host equals the entry".
+    */
+  def hostSuffixesCol(host: Column): Column = {
+    val labels = split(host, "\\.")
+    transform(
+      sequence(lit(1), size(labels)),
+      i => array_join(slice(labels, i, size(labels) - i + 1), "."))
+  }
+
+  /** Admission verdicts for a frontier slice.
+    *
+    * @param urls      frontier rows; must carry `idCol` (unique) + `urlCol`
+    * @param blocklist one `suffix` string column of blocked domain suffixes
+    * @param maxDepth  paths with ≥ this many segments are trap_depth
+    * @param maxParams query strings with ≥ this many params are trap_params
+    * @return input columns + (host, depth, n_params, verdict) where verdict
+    *         ∈ blocked > trap_depth > trap_params > ok (first match wins —
+    *         a blocked host must report blocked even when it also trips a
+    *         trap heuristic, because the block verdict is the one a crawl
+    *         operator audits against the list provider)
+    */
+  def verdicts(
+      urls: DataFrame,
+      blocklist: DataFrame,
+      idCol: String = "id",
+      urlCol: String = "url",
+      maxDepth: Long = 9L,
+      maxParams: Long = 6L): DataFrame = {
+    val u = col(urlCol)
+    val annotated = urls
+      .withColumn("host", UrlCols.hostCol(u))
+      .withColumn("depth", depthCol(u))
+      .withColumn("n_params", nParamsCol(u))
+    // slim (id, suffix) stream → join the list → distinct blocked ids;
+    // only the id survives the explode, never the URL payload
+    val blockedIds = annotated
+      .select(col(idCol), explode(hostSuffixesCol(col("host"))).as("suffix"))
+      .join(blocklist.select(col("suffix")), Seq("suffix"))
+      .select(col(idCol))
+      .distinct()
+      .withColumn("__blocked", lit(true))
+    annotated
+      .join(blockedIds, Seq(idCol), "left")
+      .withColumn(
+        "verdict",
+        when(col("__blocked"), "blocked")
+          .when(col("depth") >= maxDepth, "trap_depth")
+          .when(col("n_params") >= maxParams, "trap_params")
+          .otherwise("ok"))
+      .drop("__blocked")
+  }
+}
