@@ -992,6 +992,72 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "q67_robots_sitemaps" -> ((s, dir) => {
+      // robots.txt sitemap discovery under the gate: one robots body per
+      // host (doc_id % 20), one Sitemap line per doc — every 3rd COMMENTED
+      // OUT (must not extract), every remaining 5th in lowercase with
+      // spaces and a trailing comment (must extract clean). The engine
+      // runs the production Column regexp over the real text; the oracle
+      // derives every (host, pos, url) row analytically from the
+      // generation arithmetic (the q61 move).
+      val docs = t(s, dir, "documents").select("doc_id")
+      val line = expr(
+        """CASE WHEN doc_id % 3 = 0
+                THEN concat('# Sitemap: https://s', CAST(doc_id % 20 AS STRING),
+                            '.example.com/sm', CAST(doc_id AS STRING), '.xml')
+                WHEN doc_id % 5 = 0
+                THEN concat('  sitemap:   https://s', CAST(doc_id % 20 AS STRING),
+                            '.example.com/sm', CAST(doc_id AS STRING), '.xml   # note')
+                ELSE concat('Sitemap: https://s', CAST(doc_id % 20 AS STRING),
+                            '.example.com/sm', CAST(doc_id AS STRING), '.xml') END""")
+      val pages = docs
+        .withColumn("site", col("doc_id") % 20)
+        .withColumn("l", line)
+        .groupBy("site")
+        .agg(concat(lit("User-agent: *\nDisallow: /private\n"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("doc_id"), col("l")))),
+            x => x.getField("l")), "\n")).as("text"))
+        .select(concat(lit("https://s"), col("site").cast("string"),
+          lit(".example.com/robots.txt")).as("url"), col("text"))
+      graft.politeness.Robots.sitemapsFromPages(pages)
+        .select(col("host"), col("sitemap_pos").cast("long").as("sitemap_pos"),
+          col("sitemap_url"))
+        .orderBy("host", "sitemap_pos")
+    }),
+
+    "q65_budget_select" -> ((s, dir) => {
+      // token-budget data selection under the gate: every doc scored by a
+      // deterministic md5-derived quality stand-in (4 hex chars / 65535 —
+      // coarse ON PURPOSE, so real score ties exist and the (score desc,
+      // id asc) tie-break is exercised cross-engine), ranked, and kept
+      // while the 20k-token budget lasts. The engine's histogram-prefix +
+      // per-tie-group cumsum must equal the oracle's plain ordered window
+      // cumsum — the single-partition shape the engine refuses.
+      val docs = t(s, dir, "documents").select(
+        col("doc_id").as("id"),
+        graft.functions.TextFns.tokenCount(col("text")).cast("long").as("n_tokens"),
+        (expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS LONG)")
+          / 65535.0d).as("score"))
+      graft.pipeline.Budget.selectUnderTokenBudget(docs, budget = 20000L)
+        .select("id", "n_tokens", "score", "start_tok", "kept")
+        .orderBy("id")
+    }),
+
+    "q66_mixture_plan" -> ((s, dir) => {
+      // mixture epoch planning under the gate: the measured per-source
+      // token inventory vs a 6-source target mixture (exact binary
+      // fractions, so weight normalization is order-independent IEEE
+      // arithmetic in any engine) at a 100k-token budget; epochs,
+      // sampling rates and the planned=false rows for the 14 unlisted
+      // sources all recomputed by the oracle from scratch.
+      val docs = t(s, dir, "documents").select(
+        col("source"),
+        graft.functions.TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.pipeline.Mixture.plan(docs, mixtureWeights.toMap, budget = 100000L)
+        .orderBy("source")
+    }),
+
     "q56_dsir_weights" -> ((s, dir) => {
       // DSIR importance weights under the gate: hashed unigram+bigram
       // features (md5 60-bit buckets, B=4096), target model trained on the
@@ -1737,6 +1803,65 @@ object SparkEntry {
           ORDER BY s.id"""
     },
 
+    // q67: every (host, position, url) row re-derived analytically from
+    // the generation arithmetic — commented lines excluded, positions
+    // re-counted among surviving lines in doc order; the engine's regexp
+    // parse of the real text must land on exactly this set
+    "q67_robots_sitemaps" ->
+      """WITH e AS (
+           SELECT 's' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS host,
+                  row_number() OVER (PARTITION BY doc_id % 20 ORDER BY doc_id) - 1 AS sitemap_pos,
+                  'https://s' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/sm'
+                    || CAST(doc_id AS VARCHAR) || '.xml' AS sitemap_url
+           FROM documents WHERE doc_id % 3 <> 0)
+         SELECT host, CAST(sitemap_pos AS BIGINT) AS sitemap_pos, sitemap_url
+         FROM e ORDER BY host, sitemap_pos""",
+
+    // q65: the oracle ranks with ONE plain ordered window cumsum over the
+    // whole corpus (score desc, id asc — the single-partition shape the
+    // engine's histogram-prefix + tie-group construction refuses) and
+    // re-derives scores, token counts and the keep frontier from scratch
+    "q65_budget_select" ->
+      """WITH d AS (
+           SELECT doc_id AS id,
+                  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER / 65535.0 AS score
+           FROM documents),
+         c AS (
+           SELECT id, n_tokens, score,
+                  CAST(coalesce(sum(n_tokens) OVER (ORDER BY score DESC, id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+           FROM d)
+         SELECT id, n_tokens, score, start_tok,
+                (start_tok + n_tokens <= 20000) AS kept
+         FROM c ORDER BY id""",
+
+    // q66: inventory, normalization, target floors, epochs and rates all
+    // recomputed; weights CAST AS DOUBLE (a bare 0.25 VALUES literal is
+    // DECIMAL in DuckDB and would round differently)
+    "q66_mixture_plan" ->
+      """WITH inv AS (
+           SELECT source, count(*) AS n_docs,
+                  CAST(sum(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY 1),
+         w AS (SELECT source, CAST(wt AS DOUBLE) AS wt
+               FROM (VALUES ('src0', 0.25), ('src1', 0.25), ('src2', 0.125),
+                            ('src3', 0.125), ('src4', 0.125), ('src5', 0.125)) AS t(source, wt)),
+         ws AS (SELECT sum(wt) AS s FROM w),
+         j AS (SELECT inv.source, inv.n_docs, inv.n_tokens, w.wt / ws.s AS wn
+               FROM inv LEFT JOIN w USING (source), ws)
+         SELECT source, n_docs, n_tokens,
+                (wn IS NOT NULL) AS planned,
+                round(coalesce(wn, 0.0), 6) AS weight,
+                CAST(floor(100000.0 * coalesce(wn, 0.0)) AS BIGINT) AS target_tokens,
+                CASE WHEN n_tokens > 0
+                     THEN round(CAST(floor(100000.0 * coalesce(wn, 0.0)) AS BIGINT) / CAST(n_tokens AS DOUBLE), 6)
+                     ELSE 0.0 END AS epochs,
+                CASE WHEN n_tokens > 0
+                     THEN round(least(1.0, CAST(floor(100000.0 * coalesce(wn, 0.0)) AS BIGINT) / CAST(n_tokens AS DOUBLE)), 6)
+                     ELSE 0.0 END AS sample_rate
+         FROM j ORDER BY source""",
+
     // q60: URL synth, host/depth/param re-parse AND the blocklist
     // suffix-match all re-derived in DuckDB (list_slice over the dot
     // labels replays the suffix explosion; precedence order re-stated)
@@ -2381,6 +2506,14 @@ object SparkEntry {
     */
   private val sampleWeights: Seq[(String, Double)] =
     Seq("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1, "es" -> 1.0)
+
+  /** q66 target mixture — EXACT binary fractions (sum 1.0 in any addition
+    * order), so the engine's and the oracle's weight normalization cannot
+    * drift by a summation-order ulp.
+    */
+  private val mixtureWeights: Seq[(String, Double)] =
+    Seq("src0" -> 0.25, "src1" -> 0.25, "src2" -> 0.125,
+      "src3" -> 0.125, "src4" -> 0.125, "src5" -> 0.125)
 
   /** LM-scoring probes shared by the q55 query and its oracle: a mixed
     * OOV/seen doc whose four transitions hit every add-one smoothing

@@ -63,6 +63,48 @@ object Robots {
     rules.result()
   }
 
+  /** Sitemap URLs declared in a robots.txt body, in file order. `Sitemap:`
+    * lines are GROUP-INDEPENDENT (sitemaps.org protocol: unlike
+    * allow/disallow they apply regardless of any User-agent group), so
+    * they are collected from anywhere in the file; the key is
+    * case-insensitive and `#` comments strip first, like every other line.
+    * This is the discovery half of robots handling — the extracted URLs
+    * feed [[graft.plan.Sitemaps.parseEntries]] and from there the
+    * frontier.
+    */
+  def sitemapUrls(body: String): Seq[String] =
+    body.linesIterator
+      .map { l => val h = l.indexOf('#'); (if (h < 0) l else l.substring(0, h)).trim }
+      .filter(_.nonEmpty)
+      .filter(_.toLowerCase.startsWith("sitemap:"))
+      // first whitespace-delimited token: a URL never contains spaces, and
+      // this keeps the scalar bit-identical to the Column dual's regex
+      .map(_.substring(8).trim.takeWhile(!_.isWhitespace))
+      .filter(_.nonEmpty)
+      .toSeq
+
+  /** (host, sitemap_pos, sitemap_url) rows from the /robots.txt pages of
+    * the page table — the DataFrame dual of [[sitemapUrls]], as a pure
+    * codegen'd regexp over the body (one multiline extract-all +
+    * posexplode; no UDF). SitemapExtractSpec pins column ≡ scalar on the
+    * hostile bodies. Host derivation shares [[graft.urls.UrlCols.hostCol]]
+    * with the frontier, same as [[rulesFromPages]].
+    */
+  def sitemapsFromPages(pages: DataFrame): DataFrame = {
+    // per line: optional leading blanks, case-insensitive 'sitemap', blanks
+    // around ':', then the URL = everything up to whitespace or a comment.
+    // [^\S\r\n] = horizontal whitespace only — \s would let the key match
+    // across line breaks
+    val lineRe = "(?im)^[^\\S\\r\\n]*sitemap:[^\\S\\r\\n]*([^\\s#]+)"
+    pages
+      .filter(col("url").rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]+/robots\\.txt$"))
+      .select(
+        graft.urls.UrlCols.hostCol(col("url")).as("host"),
+        posexplode(regexp_extract_all(col("text"), lit(lineRe), lit(1)))
+          .as(Seq("sitemap_pos", "sitemap_url")))
+      .filter(col("sitemap_url") =!= "")
+  }
+
   /** Robots path pattern → anchored Java regex: `*` matches any sequence,
     * a trailing `$` anchors at path end, every other character is literal
     * (RFC 9309 §2.2.3).

@@ -22,6 +22,15 @@ import org.apache.spark.sql.functions._
   * is shuffle-free, while an UT1-scale list degrades gracefully to a
   * shuffle join on the suffix key. Trap heuristics are pure codegen'd
   * Column arithmetic over the URL string — no UDF, no shuffle.
+  *
+  * Composition with [[graft.crawl.CrawlJob]]: the gate runs ONCE, upstream,
+  * on the frontier a crawl is given (`verdicts(...).filter('verdict ===
+  * "ok")` → `CrawlJob.run`). Scrapy runs its offsite middleware inside the
+  * loop because spiders DISCOVER links mid-crawl; this engine's round loop
+  * consumes a closed frontier (no in-round link discovery), so a pre-filter
+  * is semantically identical to an in-loop gate and costs one pass instead
+  * of one per round. When link discovery lands, the gate composes at the
+  * point where discovered URLs join the frontier — same one-pass property.
   */
 object UrlFilter {
 

@@ -82,6 +82,33 @@ class FrontierOpsSpec extends SparkSpec {
     assert(out.toSeq === Seq("https://a.com/1"))
   }
 
+  test("robots Sitemap lines: group-independent, case-folded, comment-stripped") {
+    val body =
+      """User-agent: googlebot
+        |Disallow: /a
+        |Sitemap: https://a.com/s1.xml
+        |User-agent: *
+        |Disallow: /b
+        |  sitemap:   https://a.com/s2.xml   # trailing comment
+        |# Sitemap: https://a.com/commented.xml
+        |SITEMAP: https://a.com/s3.xml
+        |Sitemap:
+        |Sitemap: #onlycomment
+        |notasitemap: https://a.com/x.xml""".stripMargin
+    val expected = Seq("https://a.com/s1.xml", "https://a.com/s2.xml", "https://a.com/s3.xml")
+    assert(graft.politeness.Robots.sitemapUrls(body) === expected,
+      "group-independent collection, lowercase key, comments and empties dropped")
+    // the production Column dual must land on the identical set, in order
+    val pages = Seq(("https://a.com/robots.txt", body), ("https://a.com/page", body))
+      .toDF("url", "text")
+    val out = graft.politeness.Robots.sitemapsFromPages(pages)
+      .orderBy("sitemap_pos")
+      .select("host", "sitemap_url").as[(String, String)].collect()
+    assert(out.map(_._2).toSeq === expected, "column dual ≡ scalar reference")
+    assert(out.forall(_._1 == "a.com"))
+    assert(out.length === 3, "only the /robots.txt row parses — never ordinary pages")
+  }
+
   test("recrawl: singleton → frozen rate 0; burst inside an hour floors the span") {
     val obs = Seq(
       (1L, "2026-01-01 00:00:00"), // singleton
