@@ -1026,6 +1026,88 @@ object SparkEntry {
         .orderBy("host", "sitemap_pos")
     }),
 
+    "q68_link_extract" -> ((s, dir) => {
+      // link extraction + resolution under the gate: every doc becomes an
+      // HTML page whose anchors are planted by doc_id arithmetic — one
+      // absolute href, one single-quoted root-relative, one relative with
+      // nested markup (anchor text must come out EMPTY), plus decoys that
+      // consume anchor positions without emitting links (mailto on even
+      // ids, fragment-only on %5) and a protocol-relative on %3. The
+      // engine runs the production regexp + Column resolution over the
+      // real HTML; the oracle never parses anything — every (doc_id,
+      // link_pos, dst_url, anchor) row is re-derived analytically from
+      // the generation arithmetic, so a drift in extraction order,
+      // position accounting, decoy discipline or any resolution rule
+      // hash-mismatches.
+      val pages = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("url", expr(
+          """concat('https://h', CAST(doc_id % 40 AS STRING), '.example.com/d',
+                    CAST(doc_id % 5 AS STRING), '/p', CAST(doc_id AS STRING), '.html')"""))
+        .withColumn("html", expr(
+          """concat('<html><body><h1>Doc ', CAST(doc_id AS STRING), '</h1>',
+               '<a href="https://h', CAST((doc_id * 7 + 1) % 40 AS STRING),
+                 '.example.com/x', CAST(doc_id AS STRING), '">abs ',
+                 CAST(doc_id AS STRING), '</a>',
+               CASE WHEN doc_id % 2 = 0
+                    THEN '<a href="mailto:a@b.c">mail me</a>' ELSE '' END,
+               '<a href=''/r/', CAST(doc_id % 100 AS STRING), '''>root</a>',
+               '<a class="z" href="s', CAST(doc_id % 9 AS STRING),
+                 '/leaf.html"><b>bold</b>rel</a>',
+               CASE WHEN doc_id % 5 = 0 THEN '<a href="#top">top</a>' ELSE '' END,
+               CASE WHEN doc_id % 3 = 0
+                    THEN concat('<a href="//cdn', CAST(doc_id % 7 AS STRING),
+                                '.example.net/a">cdn</a>') ELSE '' END,
+               '</body></html>')"""))
+      graft.graph.LinkGraph.links(pages)
+        .select(col("doc_id"), col("link_pos"), col("dst_url"), col("anchor"))
+        .orderBy("doc_id", "link_pos")
+    }),
+
+    "q69_host_pagerank" -> ((s, dir) => {
+      // host graph + integer PageRank under the gate: a 45-host graph
+      // derived from doc_id arithmetic (40 h-hosts plus 5 pure-sink hosts
+      // that exercise the dangling-mass path), built through the
+      // production hostEdges (self-edges dropped) and ranked by THREE
+      // checkpointed integer power iterations. Every arithmetic step is
+      // 64-bit integer (share = rank div outdeg, exact integer sums,
+      // dangling mass div N, 17/20 damping in integer div), so the DuckDB
+      // oracle replays all three iterations bit-for-bit — any drift in
+      // edge dedup, degree counting, dangling handling or the damping
+      // arithmetic flips the hash.
+      val docs = t(s, dir, "documents").select("doc_id")
+      val urlLinks = docs
+        .withColumn("url", expr(
+          "concat('https://h', CAST(doc_id % 40 AS STRING), '.example.com/p', CAST(doc_id AS STRING))"))
+        .withColumn("dst_url", expr(
+          "concat('https://h', CAST((doc_id * 7 + 13) % 40 AS STRING), '.example.com/q', CAST(doc_id AS STRING))"))
+        .select("url", "dst_url")
+        .unionByName(docs.filter(col("doc_id") % 13 === 0)
+          .withColumn("url", expr(
+            "concat('https://h', CAST(doc_id % 40 AS STRING), '.example.com/p', CAST(doc_id AS STRING))"))
+          .withColumn("dst_url", expr(
+            "concat('https://sink', CAST(doc_id % 5 AS STRING), '.example.org/')"))
+          .select("url", "dst_url"))
+      val edges = graft.graph.LinkGraph.hostEdges(urlLinks)
+      graft.graph.LinkGraph.pageRankInt(edges, iters = 3).orderBy("host")
+    }),
+
+    "q72_anchor_stats" -> ((s, dir) => {
+      // anchor-text aggregation under the gate: q68's link set grouped by
+      // target URL — ref counts, distinct referring hosts, and the
+      // '|'-joined anchor list in deterministic (doc_id, link_pos) order
+      // with empty anchors filtered and a 256-anchor cap. The oracle
+      // re-derives the link set analytically (the q68 arithmetic) and
+      // re-aggregates with its own ordered list machinery. maxRefs=20 so
+      // the hot-target cap fires at every SF (the cdn targets collect
+      // ~24+ refs even at sf0.001).
+      val links = queries("q68_link_extract")(s, dir)
+        .withColumn("url", expr(
+          "concat('https://h', CAST(doc_id % 40 AS STRING), '.example.com/d', CAST(doc_id % 5 AS STRING), '/p', CAST(doc_id AS STRING), '.html')"))
+      graft.graph.LinkGraph.anchorStats(
+        links, orderCols = Seq("doc_id", "link_pos"), maxRefs = 20)
+        .orderBy("dst_url")
+    }),
+
     "q65_budget_select" -> ((s, dir) => {
       // token-budget data selection under the gate: every doc scored by a
       // deterministic md5-derived quality stand-in (4 hex chars / 65535 —
@@ -1816,6 +1898,139 @@ object SparkEntry {
            FROM documents WHERE doc_id % 3 <> 0)
          SELECT host, CAST(sitemap_pos AS BIGINT) AS sitemap_pos, sitemap_url
          FROM e ORDER BY host, sitemap_pos""",
+
+    // q68: the oracle never parses HTML — every (doc_id, link_pos,
+    // dst_url, anchor) row is re-derived analytically from the planting
+    // arithmetic, including the POSITIONS the non-emitting decoys consume
+    // (mailto on even ids shifts everything after it; the fragment-only
+    // anchor on %5 shifts the protocol-relative one) and the resolution
+    // of root-relative/relative/protocol-relative hrefs against the base
+    "q68_link_extract" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS m2,
+                  CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS m5
+           FROM documents),
+         l AS (
+           SELECT doc_id, 0 AS link_pos,
+                  'https://h' || CAST((doc_id * 7 + 1) % 40 AS VARCHAR)
+                    || '.example.com/x' || CAST(doc_id AS VARCHAR) AS dst_url,
+                  'abs ' || CAST(doc_id AS VARCHAR) AS anchor
+           FROM d
+           UNION ALL
+           SELECT doc_id, 1 + m2,
+                  'https://h' || CAST(doc_id % 40 AS VARCHAR)
+                    || '.example.com/r/' || CAST(doc_id % 100 AS VARCHAR),
+                  'root'
+           FROM d
+           UNION ALL
+           SELECT doc_id, 2 + m2,
+                  'https://h' || CAST(doc_id % 40 AS VARCHAR) || '.example.com/d'
+                    || CAST(doc_id % 5 AS VARCHAR) || '/s' || CAST(doc_id % 9 AS VARCHAR)
+                    || '/leaf.html',
+                  ''
+           FROM d
+           UNION ALL
+           SELECT doc_id, 3 + m2 + m5,
+                  'https://cdn' || CAST(doc_id % 7 AS VARCHAR) || '.example.net/a',
+                  'cdn'
+           FROM d WHERE doc_id % 3 = 0)
+         SELECT doc_id, CAST(link_pos AS BIGINT) AS link_pos, dst_url, anchor
+         FROM l ORDER BY doc_id, link_pos""",
+
+    // q69: the THREE integer power iterations replayed bit-for-bit —
+    // edge distinct, self-edge drop, out-degrees, per-source integer
+    // share (rank // deg), exact integer inflow sums, dangling mass
+    // (// N), and the 17/20 damping in integer division. Integer sums
+    // are order-independent, so any value drift is a REAL semantic drift.
+    "q69_host_pagerank" ->
+      """WITH raw AS (
+           SELECT 'h' || CAST(doc_id % 40 AS VARCHAR) || '.example.com' AS src,
+                  'h' || CAST((doc_id * 7 + 13) % 40 AS VARCHAR) || '.example.com' AS dst
+           FROM documents
+           UNION ALL
+           SELECT 'h' || CAST(doc_id % 40 AS VARCHAR) || '.example.com',
+                  'sink' || CAST(doc_id % 5 AS VARCHAR) || '.example.org'
+           FROM documents WHERE doc_id % 13 = 0),
+         e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+         nodes AS (SELECT DISTINCT h FROM
+                    (SELECT src AS h FROM e UNION ALL SELECT dst AS h FROM e) t),
+         k AS (SELECT count(*) AS n,
+                      1000000000000 // count(*) AS init,
+                      (3 * (1000000000000 // count(*))) // 20 AS base
+               FROM nodes),
+         od AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         r0 AS (SELECT h AS host, (SELECT init FROM k) AS rank FROM nodes),
+         d1 AS (SELECT coalesce(sum(r0.rank), 0) // (SELECT n FROM k) AS dsh
+                FROM r0 LEFT JOIN od ON od.src = r0.host WHERE od.src IS NULL),
+         i1 AS (SELECT e.dst AS host, sum(r0.rank // od.deg) AS infl
+                FROM e JOIN od ON od.src = e.src JOIN r0 ON r0.host = e.src GROUP BY 1),
+         r1 AS (SELECT nd.h AS host,
+                       (SELECT base FROM k)
+                         + (17 * (coalesce(i1.infl, 0) + (SELECT dsh FROM d1))) // 20 AS rank
+                FROM nodes nd LEFT JOIN i1 ON i1.host = nd.h),
+         d2 AS (SELECT coalesce(sum(r1.rank), 0) // (SELECT n FROM k) AS dsh
+                FROM r1 LEFT JOIN od ON od.src = r1.host WHERE od.src IS NULL),
+         i2 AS (SELECT e.dst AS host, sum(r1.rank // od.deg) AS infl
+                FROM e JOIN od ON od.src = e.src JOIN r1 ON r1.host = e.src GROUP BY 1),
+         r2 AS (SELECT nd.h AS host,
+                       (SELECT base FROM k)
+                         + (17 * (coalesce(i2.infl, 0) + (SELECT dsh FROM d2))) // 20 AS rank
+                FROM nodes nd LEFT JOIN i2 ON i2.host = nd.h),
+         d3 AS (SELECT coalesce(sum(r2.rank), 0) // (SELECT n FROM k) AS dsh
+                FROM r2 LEFT JOIN od ON od.src = r2.host WHERE od.src IS NULL),
+         i3 AS (SELECT e.dst AS host, sum(r2.rank // od.deg) AS infl
+                FROM e JOIN od ON od.src = e.src JOIN r2 ON r2.host = e.src GROUP BY 1),
+         r3 AS (SELECT nd.h AS host,
+                       (SELECT base FROM k)
+                         + (17 * (coalesce(i3.infl, 0) + (SELECT dsh FROM d3))) // 20 AS rank
+                FROM nodes nd LEFT JOIN i3 ON i3.host = nd.h)
+         SELECT host, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY host""",
+
+    // q72: q68's analytic link set re-aggregated per target with the
+    // oracle's own ordered-list machinery — ref counts, distinct
+    // referring hosts, the (doc_id, link_pos)-ordered anchor join with
+    // empties filtered and the 20-anchor hot-target cap; the
+    // all-empty-anchor targets (the /leaf.html family) pin the
+    // empty-list '' contract via the coalesce
+    "q72_anchor_stats" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS m2,
+                  CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS m5
+           FROM documents),
+         l AS (
+           SELECT doc_id, 0 AS link_pos,
+                  'https://h' || CAST((doc_id * 7 + 1) % 40 AS VARCHAR)
+                    || '.example.com/x' || CAST(doc_id AS VARCHAR) AS dst_url,
+                  'abs ' || CAST(doc_id AS VARCHAR) AS anchor
+           FROM d
+           UNION ALL
+           SELECT doc_id, 1 + m2,
+                  'https://h' || CAST(doc_id % 40 AS VARCHAR)
+                    || '.example.com/r/' || CAST(doc_id % 100 AS VARCHAR),
+                  'root'
+           FROM d
+           UNION ALL
+           SELECT doc_id, 2 + m2,
+                  'https://h' || CAST(doc_id % 40 AS VARCHAR) || '.example.com/d'
+                    || CAST(doc_id % 5 AS VARCHAR) || '/s' || CAST(doc_id % 9 AS VARCHAR)
+                    || '/leaf.html',
+                  ''
+           FROM d
+           UNION ALL
+           SELECT doc_id, 3 + m2 + m5,
+                  'https://cdn' || CAST(doc_id % 7 AS VARCHAR) || '.example.net/a',
+                  'cdn'
+           FROM d WHERE doc_id % 3 = 0)
+         SELECT dst_url,
+                CAST(count(*) AS BIGINT) AS n_refs,
+                CAST(count(DISTINCT 'h' || CAST(doc_id % 40 AS VARCHAR) || '.example.com') AS BIGINT) AS n_hosts,
+                coalesce(array_to_string(
+                  list_slice(
+                    list(anchor ORDER BY doc_id, link_pos) FILTER (WHERE anchor <> ''),
+                    1, 20), '|'), '') AS anchors
+         FROM l GROUP BY 1 ORDER BY dst_url""",
 
     // q65: the oracle ranks with ONE plain ordered window cumsum over the
     // whole corpus (score desc, id asc — the single-partition shape the

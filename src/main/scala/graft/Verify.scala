@@ -24,7 +24,16 @@ object Verify {
     rm(new java.io.File(outDir))
     new java.io.File(outDir).mkdirs()
     val failed = scala.collection.mutable.ListBuffer.empty[String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_VERIFY_ONLY=q68,q69 dumps just the named queries (prefix
+    // match) — for gating NEW queries locally against tools/compare_oracle
+    // without a full run; the driver's per-round verify never sets it.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = only match {
+      case Some(pfx) => SparkEntry.queries.filter { case (n, _) => pfx.exists(n.startsWith) }
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
