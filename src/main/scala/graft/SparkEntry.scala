@@ -1091,6 +1091,72 @@ object SparkEntry {
       graft.graph.LinkGraph.pageRankInt(edges, iters = 3).orderBy("host")
     }),
 
+    "q70_warc_parse" -> ((s, dir) => {
+      // WARC container parsing under the gate: every doc is serialized
+      // into a spec-shaped WARC response record (Content-Length from
+      // octet_length — BYTES, not chars), records concatenated in doc_id
+      // order into one binary blob per warc_id = doc_id % 16, plus the
+      // hostile planted file (request record, corrupted length, truncated
+      // tail — see warcFixtureBytes). The engine runs the pure-JVM parser
+      // over the real bytes; the oracle never parses anything — every
+      // (warc_id, rec_pos, url, warc_date, n_bytes, text) row is
+      // re-derived analytically from the generation arithmetic, with the
+      // planted file's two survivors as literals.
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val rec = expr(
+        """concat('WARC/1.0', chr(13), chr(10),
+             'WARC-Type: response', chr(13), chr(10),
+             'WARC-Target-URI: https://h', CAST(doc_id % 50 AS STRING),
+               '.example.com/p', CAST(doc_id AS STRING), chr(13), chr(10),
+             'WARC-Date: 2026-03-', lpad(CAST(1 + doc_id % 28 AS STRING), 2, '0'),
+               'T00:00:00Z', chr(13), chr(10),
+             'Content-Length: ', CAST(octet_length(text) AS STRING),
+               chr(13), chr(10), chr(13), chr(10),
+             text, chr(13), chr(10), chr(13), chr(10))""")
+      val blobs = docs
+        .withColumn("warc_id", col("doc_id") % 16)
+        .withColumn("r", rec)
+        .groupBy("warc_id")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("r")))),
+          x => x.getField("r")), "").as("s"))
+        .select(col("warc_id"), col("s").cast("binary").as("data"))
+      val planted = {
+        import s.implicits._
+        Seq((9001L, warcFixtureBytes)).toDF("warc_id", "data")
+      }
+      graft.sources.Warc.recordsDf(blobs.unionByName(planted))
+        .orderBy("warc_id", "rec_pos")
+    }),
+
+    "q71_nfc_normalize" -> ((s, dir) => {
+      // Unicode NFC normalization under the gate: the native codegen'd
+      // expression (java.text.Normalizer, UAX #15) vs DuckDB's
+      // utf8proc-backed nfc_normalize — two INDEPENDENT implementations
+      // of the same public algorithm, so a hash match is real
+      // cross-engine evidence. Planted rows exercise composition
+      // (combining acute/ring), Hangul jamo, canonical REORDERING of
+      // combining marks, and the NFKC-only decoys (fi ligature, composed
+      // é) that must pass through unchanged; the corpus rows pin the
+      // ASCII fast path at scale.
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val planted = {
+        import s.implicits._
+        val off = 1L << 41
+        Seq(
+          (off + 1, "café"),
+          (off + 2, "Å ring"),
+          (off + 3, "가 jamo"),
+          (off + 4, "ﬁ ligature stays"),
+          (off + 5, "q̣̇ reorder"),
+          (off + 6, "café composed stays")).toDF("doc_id", "text")
+      }
+      val n = graft.expr.Native.nfcNormalize(col("text"))
+      docs.unionByName(planted)
+        .select(col("doc_id"), n.as("norm_text"), (n =!= col("text")).as("changed"))
+        .orderBy("doc_id")
+    }),
+
     "q72_anchor_stats" -> ((s, dir) => {
       // anchor-text aggregation under the gate: q68's link set grouped by
       // target URL — ref counts, distinct referring hosts, and the
@@ -1106,6 +1172,57 @@ object SparkEntry {
       graft.graph.LinkGraph.anchorStats(
         links, orderCols = Seq("doc_id", "link_pos"), maxRefs = 20)
         .orderBy("dst_url")
+    }),
+
+    "q73_rank_weighted_plan" -> ((s, dir) => {
+      // the centrality-weighted planning round under the gate — the
+      // composition the new link-graph operators exist FOR: admission
+      // gate (blocklist + trap heuristics) → per-host backlog → integer
+      // PageRank over the host graph (the q69 edge set) → Hamilton
+      // apportionment of a 1000-URL budget weighted by RANK (crawl
+      // budget follows centrality, Cho/Garcia-Molina/Page WWW'98) →
+      // spend = min(alloc, backlog) (a host cannot spend more than its
+      // backlog; the residual under-spend deliberately rolls to the next
+      // round rather than re-apportioning in-round). The oracle replays
+      // the ENTIRE chain — gate re-parse, backlog, all three integer
+      // PageRank iterations, the rank-weighted Hamilton split and the
+      // min — so a drift anywhere flips the hash.
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id").as("id"))
+      val urls = docs.withColumn("url", expr(
+        """concat('https://',
+             CASE WHEN id % 17 = 0
+                  THEN concat('spam', CAST(id % 3 AS STRING), '.badtld')
+                  ELSE concat('h', CAST(id % 40 AS STRING), '.example.com') END,
+             '/',
+             repeat(concat('d', CAST(id % 5 AS STRING), '/'), CAST(id % 12 AS INT)),
+             'page',
+             concat('?a=', CAST(id % 10 AS STRING), repeat('&q=1', CAST(id % 8 AS INT))))"""))
+      val blocklist = Seq("badtld", "h7.example.com").toDF("suffix")
+      val backlog = graft.urls.UrlFilter.verdicts(urls, blocklist)
+        .filter(col("verdict") === "ok")
+        .groupBy("host").agg(count(lit(1)).as("backlog"))
+      val links = t(s, dir, "documents").select("doc_id")
+        .withColumn("url", expr(
+          "concat('https://h', CAST(doc_id % 40 AS STRING), '.example.com/p', CAST(doc_id AS STRING))"))
+        .withColumn("dst_url", expr(
+          "concat('https://h', CAST((doc_id * 7 + 13) % 40 AS STRING), '.example.com/q', CAST(doc_id AS STRING))"))
+        .select("url", "dst_url")
+        .unionByName(t(s, dir, "documents").select("doc_id")
+          .filter(col("doc_id") % 13 === 0)
+          .withColumn("url", expr(
+            "concat('https://h', CAST(doc_id % 40 AS STRING), '.example.com/p', CAST(doc_id AS STRING))"))
+          .withColumn("dst_url", expr(
+            "concat('https://sink', CAST(doc_id % 5 AS STRING), '.example.org/')"))
+          .select("url", "dst_url"))
+      val ranks = graft.graph.LinkGraph.pageRankInt(
+        graft.graph.LinkGraph.hostEdges(links), iters = 3)
+      val weighted = backlog.join(ranks, Seq("host"))
+      graft.politeness.HostBudget.apportion(weighted, budget = 1000L, cntCol = "rank")
+        .join(backlog, Seq("host"))
+        .select(col("host"), col("backlog"), col("rank"), col("alloc"),
+          least(col("alloc"), col("backlog")).as("spend"))
+        .orderBy("host")
     }),
 
     "q65_budget_select" -> ((s, dir) => {
@@ -1987,6 +2104,47 @@ object SparkEntry {
                 FROM nodes nd LEFT JOIN i3 ON i3.host = nd.h)
          SELECT host, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY host""",
 
+    // q70: the oracle never sees WARC bytes — every record row is
+    // re-derived analytically from the generation arithmetic (rec_pos =
+    // per-file doc order, n_bytes = strlen = UTF-8 byte length), and the
+    // hostile planted file's two expected survivors are literals; any
+    // parser drift (byte-vs-char slicing, structural-record skipping,
+    // resync, truncation handling) hash-mismatches
+    "q70_warc_parse" ->
+      """WITH g AS (
+           SELECT doc_id % 16 AS warc_id,
+                  row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) - 1 AS rec_pos,
+                  'https://h' || CAST(doc_id % 50 AS VARCHAR)
+                    || '.example.com/p' || CAST(doc_id AS VARCHAR) AS url,
+                  '2026-03-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+                    || 'T00:00:00Z' AS warc_date,
+                  CAST(strlen(text) AS BIGINT) AS n_bytes,
+                  text
+           FROM documents)
+         SELECT warc_id, CAST(rec_pos AS BIGINT) AS rec_pos, url, warc_date, n_bytes, text FROM g
+         UNION ALL
+         SELECT 9001, 0, 'https://p.example.com/a', '2026-06-01T00:00:00Z', 5, 'caf' || chr(233)
+         UNION ALL
+         SELECT 9001, 1, 'https://p.example.com/b', '2026-06-02T00:00:00Z', 4, 'ok' || chr(178)
+         ORDER BY warc_id, rec_pos""",
+
+    // q71: DuckDB's utf8proc nfc_normalize recomputes the normalization
+    // independently over the same inputs (planted via chr() codepoints —
+    // identical VALUES, not identical construction); composition,
+    // jamo, reordering, NFKC decoys and the changed flag all compared
+    "q71_nfc_normalize" ->
+      """WITH a AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT 2199023255553, 'cafe' || chr(769)
+           UNION ALL SELECT 2199023255554, 'A' || chr(778) || ' ring'
+           UNION ALL SELECT 2199023255555, chr(4352) || chr(4449) || ' jamo'
+           UNION ALL SELECT 2199023255556, chr(64257) || ' ligature stays'
+           UNION ALL SELECT 2199023255557, 'q' || chr(775) || chr(803) || ' reorder'
+           UNION ALL SELECT 2199023255558, 'caf' || chr(233) || ' composed stays')
+         SELECT doc_id, nfc_normalize(text) AS norm_text,
+                nfc_normalize(text) <> text AS changed
+         FROM a ORDER BY doc_id""",
+
     // q72: q68's analytic link set re-aggregated per target with the
     // oracle's own ordered-list machinery — ref counts, distinct
     // referring hosts, the (doc_id, link_pos)-ordered anchor join with
@@ -2031,6 +2189,77 @@ object SparkEntry {
                     list(anchor ORDER BY doc_id, link_pos) FILTER (WHERE anchor <> ''),
                     1, 20), '|'), '') AS anchors
          FROM l GROUP BY 1 ORDER BY dst_url""",
+
+    // q73: the centrality-weighted planning chain replayed END TO END —
+    // the q60-style gate re-parse (badtld + exact-host block, trap
+    // thresholds), the per-host backlog, all three q69 integer PageRank
+    // iterations, the Hamilton split re-weighted by rank, and the
+    // spend = min(alloc, backlog) cap. h17.example.com doubles as a
+    // suffix decoy for the h7.example.com block (string- but not
+    // dot-suffix).
+    "q73_rank_weighted_plan" ->
+      """WITH okd AS (
+           SELECT doc_id AS id,
+                  'h' || CAST(doc_id % 40 AS VARCHAR) || '.example.com' AS host
+           FROM documents
+           WHERE doc_id % 17 <> 0 AND doc_id % 40 <> 7
+             AND doc_id % 12 < 8 AND doc_id % 8 < 5),
+         b AS (SELECT host, count(*) AS backlog FROM okd GROUP BY 1),
+         raw AS (
+           SELECT 'h' || CAST(doc_id % 40 AS VARCHAR) || '.example.com' AS src,
+                  'h' || CAST((doc_id * 7 + 13) % 40 AS VARCHAR) || '.example.com' AS dst
+           FROM documents
+           UNION ALL
+           SELECT 'h' || CAST(doc_id % 40 AS VARCHAR) || '.example.com',
+                  'sink' || CAST(doc_id % 5 AS VARCHAR) || '.example.org'
+           FROM documents WHERE doc_id % 13 = 0),
+         e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+         nodes AS (SELECT DISTINCT h FROM
+                    (SELECT src AS h FROM e UNION ALL SELECT dst AS h FROM e) t),
+         k AS (SELECT count(*) AS n,
+                      1000000000000 // count(*) AS init,
+                      (3 * (1000000000000 // count(*))) // 20 AS base
+               FROM nodes),
+         od AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         r0 AS (SELECT h AS host, (SELECT init FROM k) AS rank FROM nodes),
+         d1 AS (SELECT coalesce(sum(r0.rank), 0) // (SELECT n FROM k) AS dsh
+                FROM r0 LEFT JOIN od ON od.src = r0.host WHERE od.src IS NULL),
+         i1 AS (SELECT e.dst AS host, sum(r0.rank // od.deg) AS infl
+                FROM e JOIN od ON od.src = e.src JOIN r0 ON r0.host = e.src GROUP BY 1),
+         r1 AS (SELECT nd.h AS host,
+                       (SELECT base FROM k)
+                         + (17 * (coalesce(i1.infl, 0) + (SELECT dsh FROM d1))) // 20 AS rank
+                FROM nodes nd LEFT JOIN i1 ON i1.host = nd.h),
+         d2 AS (SELECT coalesce(sum(r1.rank), 0) // (SELECT n FROM k) AS dsh
+                FROM r1 LEFT JOIN od ON od.src = r1.host WHERE od.src IS NULL),
+         i2 AS (SELECT e.dst AS host, sum(r1.rank // od.deg) AS infl
+                FROM e JOIN od ON od.src = e.src JOIN r1 ON r1.host = e.src GROUP BY 1),
+         r2 AS (SELECT nd.h AS host,
+                       (SELECT base FROM k)
+                         + (17 * (coalesce(i2.infl, 0) + (SELECT dsh FROM d2))) // 20 AS rank
+                FROM nodes nd LEFT JOIN i2 ON i2.host = nd.h),
+         d3 AS (SELECT coalesce(sum(r2.rank), 0) // (SELECT n FROM k) AS dsh
+                FROM r2 LEFT JOIN od ON od.src = r2.host WHERE od.src IS NULL),
+         i3 AS (SELECT e.dst AS host, sum(r2.rank // od.deg) AS infl
+                FROM e JOIN od ON od.src = e.src JOIN r2 ON r2.host = e.src GROUP BY 1),
+         r3 AS (SELECT nd.h AS host,
+                       (SELECT base FROM k)
+                         + (17 * (coalesce(i3.infl, 0) + (SELECT dsh FROM d3))) // 20 AS rank
+                FROM nodes nd LEFT JOIN i3 ON i3.host = nd.h),
+         w AS (SELECT b.host, b.backlog, r3.rank
+               FROM b JOIN r3 ON r3.host = b.host),
+         hb1 AS (SELECT host, backlog, rank,
+                        (1000 * rank) // (SELECT sum(rank) FROM w) AS base,
+                        (1000 * rank) % (SELECT sum(rank) FROM w) AS rem
+                 FROM w),
+         hb2 AS (SELECT host, backlog, rank, base,
+                        row_number() OVER (ORDER BY rem DESC, host ASC) AS rk,
+                        (SELECT 1000 - sum(base) FROM hb1) AS leftover
+                 FROM hb1)
+         SELECT host, backlog, CAST(rank AS BIGINT) AS rank,
+                CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc,
+                CAST(least(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END, backlog) AS BIGINT) AS spend
+         FROM hb2 ORDER BY host""",
 
     // q65: the oracle ranks with ONE plain ordered window cumsum over the
     // whole corpus (score desc, id asc — the single-partition shape the
@@ -2808,6 +3037,27 @@ object SparkEntry {
     "<style>p { color: red; }</style></head><body><!-- note <b>x</b> --><h1>Doc "
   private val htmlTplB = "</h1><p>fish &amp; chips &lt;sample&gt;</p><p>"
   private val htmlTplC = "</p><ul><li>item&nbsp;one</li><li>item two</li></ul></body></html>"
+
+  /** q70's hostile WARC file (warc_id 9001): a request record that must be
+    * skipped structurally, a multibyte response (Content-Length counts
+    * BYTES), a corrupted-Content-Length record the parser must resync
+    * past, a second multibyte response, and a truncated tail record that
+    * must drop without killing the file. Expected survivors are the two
+    * responses — their rows are literal in the oracle.
+    */
+  private def warcFixtureBytes: Array[Byte] = {
+    import java.nio.charset.StandardCharsets.UTF_8
+    import graft.sources.Warc.buildRecord
+    val corrupted =
+      ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://corrupt.example.com\r\n" +
+        "WARC-Date: 2026-06-09T00:00:00Z\r\nContent-Length: nonsense\r\n\r\njunk\r\n\r\n").getBytes(UTF_8)
+    buildRecord("request", "https://p.example.com/a", "2026-06-01T00:00:00Z", "GET /a".getBytes(UTF_8)) ++
+      buildRecord("response", "https://p.example.com/a", "2026-06-01T00:00:00Z", "café".getBytes(UTF_8)) ++
+      corrupted ++
+      buildRecord("response", "https://p.example.com/b", "2026-06-02T00:00:00Z", "ok²".getBytes(UTF_8)) ++
+      buildRecord("response", "https://p.example.com/truncated", "2026-06-03T00:00:00Z",
+        "a payload the file ends inside".getBytes(UTF_8)).dropRight(12)
+  }
 
   private val htmlFixture: Seq[(Long, String)] = {
     val off = 1L << 40

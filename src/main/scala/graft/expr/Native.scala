@@ -44,6 +44,22 @@ object Kernels {
     if (s == null) null else UTF8String.fromString(s)
   }
 
+  /** Unicode NFC normalization (UAX #15) — the text-cleanup step a
+    * web-text corpus needs before ANY content-hash dedup: the same visible
+    * string arrives from the web in composed and decomposed forms
+    * ("é" as U+00E9 vs e+U+0301), and un-normalized text makes exact
+    * dedup, line dedup and shingle hashes silently miss duplicates.
+    * `isNormalized` fast-path first: real web text is overwhelmingly
+    * ASCII/already-NFC, and the check is allocation-free, so the common
+    * row costs one scan and returns the INPUT UTF8String unchanged.
+    */
+  def nfcNormalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   /** SimHash over a token array, consuming `ArrayData` directly: per token
     * one UTF-8 byte-array view → md5 → 64 ± votes. Null tokens are skipped
     * (the UDF's Seq conversion surfaced them as nulls too — token arrays
@@ -110,6 +126,16 @@ case class HostOfUrl(child: Expression) extends GraftUnaryKernel {
     copy(child = newChild)
 }
 
+case class NfcNormalize(child: Expression) extends GraftUnaryKernel {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc_normalize"
+  override protected def kernelName: String = "nfcNormalize"
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.nfcNormalize(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 case class SimHash64(child: Expression) extends GraftUnaryKernel {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash64"
@@ -154,6 +180,8 @@ object Native {
     ColumnBridge.column(HostOfUrl(ColumnBridge.expression(url)))
   def simhash64(tokens: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+  def nfcNormalize(text: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
   def winnowFingerprint(text: Column, k: Int, window: Int, hashKind: String): Column =
     ColumnBridge.column(WinnowFingerprint(ColumnBridge.expression(text), k, window, hashKind))
 }

@@ -67,6 +67,33 @@ class NativeExprSpec extends SparkSpec {
     assert(n === Seq.empty[Long])
   }
 
+  test("native nfcNormalize: composition goldens, decoys, idempotence, codegen") {
+    val cases = Seq(
+      "é" -> "é",                  // combining acute composes
+      "Å" -> "Å",                  // combining ring composes
+      "가" -> "가",             // Hangul jamo compose to 가
+      "q̣̇" -> "q̣̇",     // canonical reordering (ccc 220 < 230)
+      "ﬁ" -> "ﬁ",                   // fi ligature: NFKC-only, must NOT change
+      "½" -> "½",                   // ½: NFKC-only decoy
+      "é" -> "é",                   // already composed: fast path
+      "plain ascii" -> "plain ascii",
+      "😀" -> "😀")       // non-BMP passthrough
+    val df = cases.zipWithIndex.map { case ((in, _), i) => (i, in) }.toDF("i", "t")
+      .select(col("i"), Native.nfcNormalize(col("t")).as("n"))
+    val got = df.as[(Int, String)].collect().toMap
+    cases.zipWithIndex.foreach { case ((in, want), i) =>
+      assert(got(i) === want, s"input codepoints ${in.map(_.toInt).mkString(",")}")
+      assert(java.text.Normalizer.isNormalized(got(i), java.text.Normalizer.Form.NFC))
+    }
+    // idempotence over the normalized output
+    val twice = cases.zipWithIndex.map { case ((in, _), i) => (i, in) }.toDF("i", "t")
+      .select(Native.nfcNormalize(Native.nfcNormalize(col("t"))).as("n2")).as[String].collect()
+    assert(twice.toSeq === cases.map(_._2))
+    // null propagation
+    assert(Seq((null: String)).toDF("t")
+      .select(Native.nfcNormalize(col("t"))).as[String].head() === null)
+  }
+
   test("native expressions run inside WholeStageCodegen with no ScalaUDF in the plan") {
     // range-derived input: a literal Seq would be ConvertToLocalRelation'd
     // into a pre-evaluated LocalTableScan and show no codegen at all
