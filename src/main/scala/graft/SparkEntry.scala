@@ -1225,6 +1225,48 @@ object SparkEntry {
         .orderBy("host")
     }),
 
+    "q74_discovery_round" -> ((s, dir) => {
+      // the discovery round under the gate — the open-web loop closure:
+      // fetched pages (the q68 HTML) → resolved links → per-target ref
+      // counts → seen-set anti-join → admission gate → next frontier.
+      // The seen set plants both a no-op decoy (every page's own URL —
+      // never a link target by construction) and a real filter (the
+      // root-relative targets of EVEN doc_ids: since d ≡ host (mod 40)
+      // forces d's parity, every /r/ target on an even host is seen and
+      // must drop, every odd-host one survives). cdn3.example.net is
+      // blocklisted. The oracle replays everything analytically.
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val pages = docs
+        .withColumn("url", expr(
+          """concat('https://h', CAST(doc_id % 40 AS STRING), '.example.com/d',
+                    CAST(doc_id % 5 AS STRING), '/p', CAST(doc_id AS STRING), '.html')"""))
+        .withColumn("html", expr(
+          """concat('<html><body><h1>Doc ', CAST(doc_id AS STRING), '</h1>',
+               '<a href="https://h', CAST((doc_id * 7 + 1) % 40 AS STRING),
+                 '.example.com/x', CAST(doc_id AS STRING), '">abs ',
+                 CAST(doc_id AS STRING), '</a>',
+               CASE WHEN doc_id % 2 = 0
+                    THEN '<a href="mailto:a@b.c">mail me</a>' ELSE '' END,
+               '<a href=''/r/', CAST(doc_id % 100 AS STRING), '''>root</a>',
+               '<a class="z" href="s', CAST(doc_id % 9 AS STRING),
+                 '/leaf.html"><b>bold</b>rel</a>',
+               CASE WHEN doc_id % 5 = 0 THEN '<a href="#top">top</a>' ELSE '' END,
+               CASE WHEN doc_id % 3 = 0
+                    THEN concat('<a href="//cdn', CAST(doc_id % 7 AS STRING),
+                                '.example.net/a">cdn</a>') ELSE '' END,
+               '</body></html>')"""))
+      val seen = docs.select(expr(
+        """concat('https://h', CAST(doc_id % 40 AS STRING), '.example.com/d',
+                  CAST(doc_id % 5 AS STRING), '/p', CAST(doc_id AS STRING), '.html')""").as("url"))
+        .unionByName(docs.filter(col("doc_id") % 2 === 0).select(expr(
+          """concat('https://h', CAST(doc_id % 40 AS STRING), '.example.com/r/',
+                    CAST(doc_id % 100 AS STRING))""").as("url")))
+      val blocklist = Seq("cdn3.example.net").toDF("suffix")
+      graft.graph.LinkGraph.discoverFrontier(pages, seen, blocklist)
+        .orderBy("url")
+    }),
+
     "q65_budget_select" -> ((s, dir) => {
       // token-budget data selection under the gate: every doc scored by a
       // deterministic md5-derived quality stand-in (4 hex chars / 65535 —
@@ -2260,6 +2302,53 @@ object SparkEntry {
                 CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc,
                 CAST(least(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END, backlog) AS BIGINT) AS spend
          FROM hb2 ORDER BY host""",
+
+    // q74: the discovery loop replayed analytically — the q68 link
+    // arithmetic (with per-family hosts emitted alongside), ref-count
+    // aggregation, the seen anti-join (even-host /r/ targets seen by the
+    // parity argument; page self-URLs a structural no-op), and the
+    // cdn3 block
+    "q74_discovery_round" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS m2
+           FROM documents),
+         l AS (
+           SELECT 'https://h' || CAST((doc_id * 7 + 1) % 40 AS VARCHAR)
+                    || '.example.com/x' || CAST(doc_id AS VARCHAR) AS url,
+                  'h' || CAST((doc_id * 7 + 1) % 40 AS VARCHAR) || '.example.com' AS host
+           FROM d
+           UNION ALL
+           SELECT 'https://h' || CAST(doc_id % 40 AS VARCHAR)
+                    || '.example.com/r/' || CAST(doc_id % 100 AS VARCHAR),
+                  'h' || CAST(doc_id % 40 AS VARCHAR) || '.example.com'
+           FROM d
+           UNION ALL
+           SELECT 'https://h' || CAST(doc_id % 40 AS VARCHAR) || '.example.com/d'
+                    || CAST(doc_id % 5 AS VARCHAR) || '/s' || CAST(doc_id % 9 AS VARCHAR)
+                    || '/leaf.html',
+                  'h' || CAST(doc_id % 40 AS VARCHAR) || '.example.com'
+           FROM d
+           UNION ALL
+           SELECT 'https://cdn' || CAST(doc_id % 7 AS VARCHAR) || '.example.net/a',
+                  'cdn' || CAST(doc_id % 7 AS VARCHAR) || '.example.net'
+           FROM d WHERE doc_id % 3 = 0),
+         agg AS (SELECT url, min(host) AS host, CAST(count(*) AS BIGINT) AS n_refs
+                 FROM l GROUP BY 1),
+         seen AS (
+           SELECT 'https://h' || CAST(doc_id % 40 AS VARCHAR) || '.example.com/d'
+                    || CAST(doc_id % 5 AS VARCHAR) || '/p' || CAST(doc_id AS VARCHAR)
+                    || '.html' AS url
+           FROM documents
+           UNION ALL
+           SELECT 'https://h' || CAST(doc_id % 40 AS VARCHAR)
+                    || '.example.com/r/' || CAST(doc_id % 100 AS VARCHAR)
+           FROM documents WHERE doc_id % 2 = 0)
+         SELECT a.url, a.host, a.n_refs
+         FROM agg a
+         WHERE a.host <> 'cdn3.example.net'
+           AND NOT EXISTS (SELECT 1 FROM seen s WHERE s.url = a.url)
+         ORDER BY a.url""",
 
     // q65: the oracle ranks with ONE plain ordered window cumsum over the
     // whole corpus (score desc, id asc — the single-partition shape the

@@ -132,6 +132,42 @@ object LinkGraph {
     filtered.groupBy("src", "dst").agg(count(lit(1)).as("n_links"))
   }
 
+  /** The discovery round — the composition that makes a crawl OPEN-web:
+    * fetched pages feed the next frontier. links → distinct targets →
+    * seen-set anti-join → admission gate (blocklist + trap heuristics)
+    * → candidate frontier rows with their referrer count (a cheap
+    * priority prior until PageRank has enough graph).
+    *
+    * Scale shape: the link explosion is row-local; `n_refs` aggregation
+    * and the anti-join both shuffle on the slim dst-URL key (text never
+    * rides them); the gate is row-local after one broadcast/suffix join.
+    * This mirrors the reference's closed-loop dual: CardRates *plans* its
+    * frontier from the rates DB anti-join (client.py missing()); an
+    * open-web engine plans it from the link set minus the seen set.
+    *
+    * @param pages fetched pages with `urlCol` + `htmlCol`
+    * @param seen  one slim column `url` of already-crawled URLs
+    * @param blocklist one column `suffix` (UrlFilter semantics)
+    * @return (url, host, n_refs) — admitted, unseen discovered URLs
+    */
+  def discoverFrontier(
+      pages: DataFrame,
+      seen: DataFrame,
+      blocklist: DataFrame,
+      urlCol: String = "url",
+      htmlCol: String = "html"): DataFrame = {
+    val discovered = links(pages, urlCol, htmlCol)
+      .groupBy(col("dst_url").as("url"))
+      .agg(count(lit(1)).as("n_refs"))
+    val unseen = discovered.join(
+      seen.select(col("url")), Seq("url"), "left_anti")
+    // the distinct URL is its own id: verdicts' blocked-ids join needs a
+    // unique key and the groupBy above guarantees exactly that
+    graft.urls.UrlFilter.verdicts(unseen, blocklist, idCol = "url")
+      .filter(col("verdict") === "ok")
+      .select(col("url"), col("host"), col("n_refs"))
+  }
+
   /** Per-target anchor-text aggregation — the classic indexing/quality
     * signal (anchor text describes the TARGET better than its own page;
     * e.g. Craswell et al., SIGIR'01) and a crawl-priority feature: a URL

@@ -101,6 +101,19 @@ class LinkGraphSpec extends SparkSpec {
       s"mass ~scale with truncation drift, got $total")
   }
 
+  test("discoverFrontier: links → ref counts → unseen → admitted frontier") {
+    val pages = Seq(
+      ("https://a.com/p1", """<a href="https://b.com/x">b</a><a href="/local">l</a>"""),
+      ("https://c.com/p2", """<a href="https://b.com/x">again</a><a href="https://blocked.bad/x">n</a>""")
+    ).toDF("url", "html")
+    val seen = Seq("https://a.com/local").toDF("url")
+    val blocklist = Seq("blocked.bad").toDF("suffix")
+    val out = LinkGraph.discoverFrontier(pages, seen, blocklist)
+      .as[(String, String, Long)].collect().toSet
+    assert(out === Set(("https://b.com/x", "b.com", 2L)),
+      "seen target dropped, blocked host dropped, refs counted across pages")
+  }
+
   test("links end-to-end: extraction + resolution + fragment/decoy discipline") {
     val html =
       """<a href="/p1">one</a><a href="mailto:x@y">skip</a><a href="p2#frag">two</a>"""
