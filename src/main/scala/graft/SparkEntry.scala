@@ -1267,6 +1267,35 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    "q75_trustrank" -> ((s, dir) => {
+      // TrustRank under the gate: the q69 host graph, teleport mass
+      // concentrated on four trusted seeds (h0/h10/h20/h30) — rank flows
+      // OUT from vetted hosts; dangling mass returns to the trusted set.
+      // Same bit-exact integer discipline as q69, so the DuckDB oracle
+      // replays all three iterations including the trusted-conditional
+      // teleport term. The sink hosts pin the dangling path; every
+      // reached-but-untrusted host's rank is pure inflow.
+      import s.implicits._
+      val docs = t(s, dir, "documents").select("doc_id")
+      val urlLinks = docs
+        .withColumn("url", expr(
+          "concat('https://h', CAST(doc_id % 40 AS STRING), '.example.com/p', CAST(doc_id AS STRING))"))
+        .withColumn("dst_url", expr(
+          "concat('https://h', CAST((doc_id * 7 + 13) % 40 AS STRING), '.example.com/q', CAST(doc_id AS STRING))"))
+        .select("url", "dst_url")
+        .unionByName(docs.filter(col("doc_id") % 13 === 0)
+          .withColumn("url", expr(
+            "concat('https://h', CAST(doc_id % 40 AS STRING), '.example.com/p', CAST(doc_id AS STRING))"))
+          .withColumn("dst_url", expr(
+            "concat('https://sink', CAST(doc_id % 5 AS STRING), '.example.org/')"))
+          .select("url", "dst_url"))
+      val trusted = Seq("h0.example.com", "h10.example.com",
+        "h20.example.com", "h30.example.com").toDF("host")
+      graft.graph.LinkGraph.trustRankInt(
+        graft.graph.LinkGraph.hostEdges(urlLinks), trusted, iters = 3)
+        .orderBy("host")
+    }),
+
     "q65_budget_select" -> ((s, dir) => {
       // token-budget data selection under the gate: every doc scored by a
       // deterministic md5-derived quality stand-in (4 hex chars / 65535 —
@@ -2349,6 +2378,63 @@ object SparkEntry {
          WHERE a.host <> 'cdn3.example.net'
            AND NOT EXISTS (SELECT 1 FROM seen s WHERE s.url = a.url)
          ORDER BY a.url""",
+
+    // q75: the three TrustRank iterations replayed bit-for-bit — the
+    // trusted-conditional teleport (base + dangling both div nT=4, only
+    // on seed rows), integer inflow, 17/20 damping; untrusted hosts'
+    // ranks are pure inflow sums, sinks exercise the dangling return
+    "q75_trustrank" ->
+      """WITH raw AS (
+           SELECT 'h' || CAST(doc_id % 40 AS VARCHAR) || '.example.com' AS src,
+                  'h' || CAST((doc_id * 7 + 13) % 40 AS VARCHAR) || '.example.com' AS dst
+           FROM documents
+           UNION ALL
+           SELECT 'h' || CAST(doc_id % 40 AS VARCHAR) || '.example.com',
+                  'sink' || CAST(doc_id % 5 AS VARCHAR) || '.example.org'
+           FROM documents WHERE doc_id % 13 = 0),
+         e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+         nodes AS (SELECT h AS host,
+                          h IN ('h0.example.com','h10.example.com',
+                                'h20.example.com','h30.example.com') AS trusted
+                   FROM (SELECT DISTINCT h FROM
+                          (SELECT src AS h FROM e UNION ALL SELECT dst AS h FROM e) t)),
+         k AS (SELECT 1000000000000 // 4 AS seed,
+                      3 * (1000000000000 // 4) AS base),
+         od AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         r0 AS (SELECT host, trusted,
+                       CASE WHEN trusted THEN (SELECT seed FROM k) ELSE 0 END AS rank
+                FROM nodes),
+         d1 AS (SELECT coalesce(sum(r0.rank), 0) // 4 AS dsh
+                FROM r0 LEFT JOIN od ON od.src = r0.host WHERE od.src IS NULL),
+         i1 AS (SELECT e.dst AS host, sum(r0.rank // od.deg) AS infl
+                FROM e JOIN od ON od.src = e.src JOIN r0 ON r0.host = e.src GROUP BY 1),
+         r1 AS (SELECT nd.host, nd.trusted,
+                       (CASE WHEN nd.trusted
+                             THEN (SELECT base FROM k) + 17 * (SELECT dsh FROM d1)
+                             ELSE 0 END
+                        + 17 * coalesce(i1.infl, 0)) // 20 AS rank
+                FROM nodes nd LEFT JOIN i1 ON i1.host = nd.host),
+         d2 AS (SELECT coalesce(sum(r1.rank), 0) // 4 AS dsh
+                FROM r1 LEFT JOIN od ON od.src = r1.host WHERE od.src IS NULL),
+         i2 AS (SELECT e.dst AS host, sum(r1.rank // od.deg) AS infl
+                FROM e JOIN od ON od.src = e.src JOIN r1 ON r1.host = e.src GROUP BY 1),
+         r2 AS (SELECT nd.host, nd.trusted,
+                       (CASE WHEN nd.trusted
+                             THEN (SELECT base FROM k) + 17 * (SELECT dsh FROM d2)
+                             ELSE 0 END
+                        + 17 * coalesce(i2.infl, 0)) // 20 AS rank
+                FROM nodes nd LEFT JOIN i2 ON i2.host = nd.host),
+         d3 AS (SELECT coalesce(sum(r2.rank), 0) // 4 AS dsh
+                FROM r2 LEFT JOIN od ON od.src = r2.host WHERE od.src IS NULL),
+         i3 AS (SELECT e.dst AS host, sum(r2.rank // od.deg) AS infl
+                FROM e JOIN od ON od.src = e.src JOIN r2 ON r2.host = e.src GROUP BY 1),
+         r3 AS (SELECT nd.host, nd.trusted,
+                       (CASE WHEN nd.trusted
+                             THEN (SELECT base FROM k) + 17 * (SELECT dsh FROM d3)
+                             ELSE 0 END
+                        + 17 * coalesce(i3.infl, 0)) // 20 AS rank
+                FROM nodes nd LEFT JOIN i3 ON i3.host = nd.host)
+         SELECT host, trusted, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY host""",
 
     // q65: the oracle ranks with ONE plain ordered window cumsum over the
     // whole corpus (score desc, id asc — the single-partition shape the

@@ -301,4 +301,94 @@ object LinkGraph {
     }
     ranks
   }
+
+  /** Fixed-point integer TrustRank (Gyöngyi, Garcia-Molina & Pedersen,
+    * VLDB'04) — PageRank with the teleport mass concentrated on a TRUSTED
+    * seed set instead of uniform. The crawl-quality dual of
+    * [[pageRankInt]]: rank flows OUT from vetted hosts, so spam farms
+    * that only cite each other converge toward zero no matter how dense
+    * their internal link structure — the admission-prior an open-web
+    * frontier wants next to the raw-centrality one.
+    *
+    * Same bit-exact integer discipline as pageRankInt (the q69 contract):
+    * per iteration, newRank(h) =
+    *   [trusted(h) ? (dampDen−dampNum)·(scale div nT) + dampNum·(dangling div nT) : 0]
+    *     + dampNum·inflow(h), all div dampDen
+    * — teleport AND dangling mass both return to the trusted set
+    * uniformly (div nT), inflow is an exact integer sum, so the result is
+    * a pure function of (edges, trusted, iters, scale, damping) on any
+    * engine/partitioning. Untrusted, unreached hosts are exactly 0.
+    *
+    * Scale shape identical to pageRankInt plus one broadcast-sized join
+    * against the trusted flag (seed lists are human-curated — hundreds to
+    * thousands of rows).
+    *
+    * @param trusted one column `host`; rows not present in the graph are
+    *                ignored (nT counts only seeds that exist as nodes)
+    */
+  def trustRankInt(
+      edges: DataFrame,
+      trusted: DataFrame,
+      iters: Int = 3,
+      scale: Long = 1000000000000L,
+      dampNum: Long = 17L,
+      dampDen: Long = 20L,
+      workDir: Option[String] = None): DataFrame = {
+    require(iters >= 1 && dampNum > 0 && dampDen > dampNum && scale > 0)
+    val spark = edges.sparkSession
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val scratch = workDir.getOrElse {
+      val dir = java.nio.file.Files.createTempDirectory("graft-tr").toString
+      graft.dedup.Clusters.registerScratchCleanup(hadoopConf, dir)
+      dir
+    }
+    def ckpt(df: DataFrame, name: String): DataFrame = {
+      val p = s"$scratch/$name"
+      df.write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    }
+
+    val e = ckpt(
+      edges.select(col("src").cast("string"), col("dst").cast("string"))
+        .filter(col("src").isNotNull && col("dst").isNotNull)
+        .distinct(),
+      "edges")
+    val nodes = ckpt(
+      e.select(col("src").as("host")).unionAll(e.select(col("dst").as("host"))).distinct()
+        .join(trusted.select(col("host")).distinct().withColumn("__t", lit(true)),
+          Seq("host"), "left")
+        .select(col("host"), coalesce(col("__t"), lit(false)).as("trusted")),
+      "nodes")
+    val nT = nodes.filter(col("trusted")).count()
+    require(nT > 0, "trustRankInt: no trusted seed exists in the graph")
+    val seedShare = scale / nT
+    val baseTerm = (dampDen - dampNum) * seedShare // divided by dampDen inside the loop
+    val outDeg = ckpt(e.groupBy("src").agg(count(lit(1)).as("deg")), "outdeg")
+
+    var ranks = ckpt(
+      nodes.select(col("host"),
+        when(col("trusted"), lit(seedShare)).otherwise(lit(0L)).as("rank")),
+      "iter-0")
+    var i = 1
+    while (i <= iters) {
+      val dangling = ranks.join(outDeg, ranks("host") === outDeg("src"), "left_anti")
+        .agg(coalesce(sum("rank"), lit(0L)).as("m")).collect()(0).getLong(0)
+      val dangShare = dangling / nT
+      val share = ranks.join(outDeg, ranks("host") === outDeg("src"))
+        .select(col("host").as("s"), expr("rank div deg").as("share"))
+      val inflow = e.join(share, e("src") === col("s"))
+        .groupBy("dst").agg(sum("share").as("inflow"))
+      val next = nodes.join(inflow, nodes("host") === inflow("dst"), "left")
+        .select(col("host"), col("trusted"), expr(
+          s"""(CASE WHEN trusted
+                    THEN CAST($baseTerm AS BIGINT) + $dampNum * CAST($dangShare AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END
+               + $dampNum * coalesce(inflow, CAST(0 AS BIGINT))) div $dampDen""")
+          .as("rank"))
+      ranks = ckpt(next, s"iter-$i")
+      graft.dedup.Clusters.deleteRecursively(hadoopConf, s"$scratch/iter-${i - 1}")
+      i += 1
+    }
+    ranks.select("host", "trusted", "rank")
+  }
 }

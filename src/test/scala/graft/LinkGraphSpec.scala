@@ -101,6 +101,36 @@ class LinkGraphSpec extends SparkSpec {
       s"mass ~scale with truncation drift, got $total")
   }
 
+  test("trustRankInt matches the hand-computed fixed point; spam island stays 0") {
+    // a -> b, a -> c, b -> c; c dangling; trusted = {a}, scale=300, nT=1.
+    // init: a=300. iter1: shares a:150->b,c; dang(c)=0
+    //   a=(3*300)/20=45, b=c=(17*150)/20=127
+    // iter2: dang=c=127, dsh=127; shares a:22->b,c; b:127->c
+    //   a=(900+17*127)/20=152, b=(17*22)/20=18, c=(17*149)/20=126
+    // spam island d<->e: no path from a — exactly 0 forever.
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("d", "e"), ("e", "d"))
+      .toDF("src", "dst")
+    val trusted = Seq("a", "not-in-graph").toDF("host")
+    val r = LinkGraph.trustRankInt(edges, trusted, iters = 2, scale = 300L)
+      .as[(String, Boolean, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r("a") === ((true, 152L)))
+    assert(r("b") === ((false, 18L)))
+    assert(r("c") === ((false, 126L)))
+    assert(r("d") === ((false, 0L)), "unreachable-from-seeds host must demote to exactly 0")
+    assert(r("e") === ((false, 0L)))
+  }
+
+  test("trustRankInt is deterministic across partitionings") {
+    val edges = (1 to 400).map(i => (s"h${i % 23}", s"h${(i * 7 + 3) % 29}"))
+      .toDF("src", "dst")
+    val trusted = Seq("h0", "h5", "h11").toDF("host")
+    val r1 = LinkGraph.trustRankInt(edges.repartition(1), trusted, iters = 3)
+      .as[(String, Boolean, Long)].collect().toSet
+    val r16 = LinkGraph.trustRankInt(edges.repartition(16), trusted, iters = 3)
+      .as[(String, Boolean, Long)].collect().toSet
+    assert(r1 === r16)
+  }
+
   test("discoverFrontier: links → ref counts → unseen → admitted frontier") {
     val pages = Seq(
       ("https://a.com/p1", """<a href="https://b.com/x">b</a><a href="/local">l</a>"""),
