@@ -55,7 +55,15 @@ object ExprBench {
       graft.functions.TextFns.fingerprintUdf(col("text"), lit(9), lit(16), lit("poly"))))
     val wn = time("winnow/native")(texts.select(
       graft.expr.Native.winnowFingerprint(col("text"), 9, 16, "poly")))
-    println(f"""{"metric":"expr_ab","urls":$n,"canon_udf":$cu%.2f,"canon_native":$cn%.2f,"simhash_udf":$su%.2f,"simhash_native":$sn%.2f,"scrapyfp_udf":$fu%.2f,"scrapyfp_native":$fn%.2f,"winnow_udf":$wu%.2f,"winnow_native":$wn%.2f}""")
+    // NFC over the realistic mix: mostly already-NFC ASCII (the fast
+    // path) with a decomposed suffix planted on every 5th row
+    val nfcIn = synth.BenchWorkload.docs(spark, math.min(n / 8, 1000000L), 100)
+      .select(when(pmod(col("doc_id"), lit(5L)) === 0L,
+        concat(col("text"), lit(" café"))).otherwise(col("text")).as("text"))
+      .repartition(cpus.toInt)
+    val nu = time("nfc/udf")(nfcIn.select(graft.functions.TextFns.nfcNormalizeUdf(col("text"))))
+    val nn = time("nfc/native")(nfcIn.select(graft.expr.Native.nfcNormalize(col("text"))))
+    println(f"""{"metric":"expr_ab","urls":$n,"canon_udf":$cu%.2f,"canon_native":$cn%.2f,"simhash_udf":$su%.2f,"simhash_native":$sn%.2f,"scrapyfp_udf":$fu%.2f,"scrapyfp_native":$fn%.2f,"winnow_udf":$wu%.2f,"winnow_native":$wn%.2f,"nfc_udf":$nu%.2f,"nfc_native":$nn%.2f}""")
     spark.stop()
   }
 }

@@ -379,6 +379,15 @@ object TextFns {
     */
   val fingerprintUdf = udf(winnow _)
 
+  /** UDF reference form of [[graft.expr.Native.nfcNormalize]] — the
+    * ExprBench A/B counterpart and the native≡UDF parity baseline. Same
+    * java.text.Normalizer kernel, wrapped in the converter layer the
+    * native expression exists to avoid.
+    */
+  val nfcNormalizeUdf = udf((s: String) =>
+    if (s == null) null
+    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+
   /** The pure winnowing kernel — shared by the UDF form above (the golden
     * reference) and the native Catalyst expression
     * ([[graft.expr.WinnowFingerprint]], the production column).

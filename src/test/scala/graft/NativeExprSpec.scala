@@ -92,6 +92,11 @@ class NativeExprSpec extends SparkSpec {
     // null propagation
     assert(Seq((null: String)).toDF("t")
       .select(Native.nfcNormalize(col("t"))).as[String].head() === null)
+    // native ≡ UDF reference on the same inputs
+    val both = cases.map(_._1).toDF("t").select(
+      Native.nfcNormalize(col("t")).as("n"),
+      graft.functions.TextFns.nfcNormalizeUdf(col("t")).as("u"))
+    assert(both.filter(!(col("n") <=> col("u"))).count() === 0L)
   }
 
   test("native expressions run inside WholeStageCodegen with no ScalaUDF in the plan") {
