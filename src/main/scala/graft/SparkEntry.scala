@@ -563,6 +563,28 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "q76_clean_nfc" -> ((s, dir) => {
+      // the q38 cleanup chain with the NFC rung ON: text is NFC-normalized
+      // BEFORE every verdict kernel and the md5 dedup hash. Planted twins
+      // share one visible string in composed vs DECOMPOSED form — byte-
+      // different, so without the rung they both survive exact dedup; with
+      // it the lower id is kept and the twin reads 'duplicate'. The oracle
+      // reuses the complete committed verdict-chain CTEs over
+      // nfc_normalize'd source text — DuckDB's independent utf8proc
+      // normalization feeding its independent chain recomputation.
+      import s.implicits._
+      val off = 1L << 42
+      val base = nfcTwinBase
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      // twin A composed (U+00E9), twin B decomposed (e + U+0301) — built
+      // from code points so the source encoding can never collapse them
+      val planted = Seq(
+        (off + 1, base + " caf" + "é"),
+        (off + 2, base + " caf" + "e" + "́")).toDF("doc_id", "text")
+      graft.pipeline.Corpus.clean(docs.unionByName(planted), normalizeNfc = true)
+        .orderBy("id")
+    }),
+
     "q39_clean_neardup" -> ((s, dir) => {
       // the FULL composed pipeline: clean's verdict chain + near-dup
       // cluster removal in one call (VERDICT r04 #1). Two planted non-
@@ -1772,6 +1794,24 @@ object SparkEntry {
             UNION ALL SELECT ${off + 1} AS doc_id, text FROM documents WHERE doc_id = 0
             UNION ALL SELECT ${off + 2} AS doc_id, text FROM documents WHERE doc_id = 0
             UNION ALL SELECT ${off + 3} AS doc_id, 'zq1 zq2' AS text),
+          $cleanChainCtes
+          SELECT doc_id AS id, n_tokens, pred_lang, quality,
+                 COALESCE(reason0, CASE WHEN rn > 1 THEN 'duplicate' END, 'kept') AS reason,
+                 COALESCE(reason0, CASE WHEN rn > 1 THEN 'duplicate' END, 'kept') = 'kept' AS keep
+          FROM ranked ORDER BY id"""
+    },
+
+    // q76: the committed verdict-chain CTEs reused VERBATIM over
+    // nfc_normalize'd source text — utf8proc's independent normalization
+    // feeding DuckDB's independent chain recomputation; the decomposed
+    // twin must hash-collide with the composed one and read 'duplicate'
+    "q76_clean_nfc" -> {
+      val off = 1L << 42
+      s"""WITH all_docs AS (
+            SELECT doc_id, nfc_normalize(text) AS text FROM (
+              SELECT doc_id, text FROM documents
+              UNION ALL SELECT ${off + 1} AS doc_id, '$nfcTwinBase' || ' caf' || chr(233) AS text
+              UNION ALL SELECT ${off + 2} AS doc_id, '$nfcTwinBase' || ' cafe' || chr(769) AS text)),
           $cleanChainCtes
           SELECT doc_id AS id, n_tokens, pred_lang, quality,
                  COALESCE(reason0, CASE WHEN rn > 1 THEN 'duplicate' END, 'kept') AS reason,
@@ -3233,6 +3273,14 @@ object SparkEntry {
       buildRecord("response", "https://p.example.com/truncated", "2026-06-03T00:00:00Z",
         "a payload the file ends inside".getBytes(UTF_8)).dropRight(12)
   }
+
+  /** q76's twin base — English, stopword-rich, 20 tokens: passes every
+    * row-local verdict so the NFC-dedup effect is what decides the twins'
+    * reasons. Shared by the Spark fixture and the oracle literal.
+    */
+  private val nfcTwinBase: String =
+    "the quick brown fox jumps over the lazy dog while " +
+      "the small bird watches the calm river at the old"
 
   private val htmlFixture: Seq[(Long, String)] = {
     val off = 1L << 40

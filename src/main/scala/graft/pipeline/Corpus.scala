@@ -105,6 +105,13 @@ object Corpus {
       .drop("__rep")
   }
 
+  /** @param normalizeNfc apply Unicode NFC ([[graft.expr.Native.nfcNormalize]])
+    *                      to the text BEFORE every verdict kernel and the
+    *                      md5 dedup hash — composed and decomposed forms
+    *                      of the same visible string otherwise hash apart
+    *                      and silently survive exact dedup. Off by default
+    *                      for q38-parity; a web-text deployment wants it on.
+    */
   def clean(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -113,9 +120,12 @@ object Corpus {
       minTokens: Int = 5,
       maxTokens: Int = 50000,
       minQuality: Double = 0.75,
-      repetition: Option[RepetitionBounds] = None): DataFrame = {
+      repetition: Option[RepetitionBounds] = None,
+      normalizeNfc: Boolean = false): DataFrame = {
+    val srcText =
+      if (normalizeNfc) graft.expr.Native.nfcNormalize(col(textCol)) else col(textCol)
     val slim = rowVerdicts(
-      docs.select(col(idCol).cast("long").as("id"), col(textCol).as("__text")),
+      docs.select(col(idCol).cast("long").as("id"), srcText.as("__text")),
       "__text", keepLang, minTokens, maxTokens, minQuality, repetition)
       .select("id", "n_tokens", "pred_lang", "quality", "__h", "__r0")
     // passing docs first (false < true), then min id: rank 1 is the

@@ -37,6 +37,23 @@ class CorpusSpec extends SparkSpec {
       (6L, "too_short", false)))
   }
 
+  test("normalizeNfc rung: composed/decomposed twins dedup only with the rung on") {
+    val base = "the quick brown fox jumps over the lazy dog while " +
+      "the small bird watches the calm river at the old"
+    val docs = Seq(
+      (1L, base + " caf" + "é"),
+      (2L, base + " caf" + "e" + "́")).toDF("doc_id", "text")
+    val off = Corpus.clean(docs).select("id", "reason")
+      .as[(Long, String)].collect().toMap
+    assert(off(1L) === "kept" && off(2L) === "kept",
+      "byte-different forms survive exact dedup without normalization")
+    val on = Corpus.clean(docs, normalizeNfc = true).select("id", "reason")
+      .as[(Long, String)].collect().toMap
+    assert(on(1L) === "kept")
+    assert(on(2L) === "duplicate",
+      "NFC makes the decomposed twin hash-collide with the composed one")
+  }
+
   test("repetition rung: opt-in, fires after low_quality and before duplicate") {
     val line = "the quick brown fox jumps over the lazy dog"
     val dupLines = (Seq.fill(4)(line) :+ "something else entirely different here today").mkString("\n")
