@@ -1318,6 +1318,33 @@ object SparkEntry {
         .orderBy("host")
     }),
 
+    "q77_redirect_resolve" -> ((s, dir) => {
+      // redirect-chain resolution under the gate: each doc plants a chain
+      // of length doc_id % 4 (p{id}_0 → … → p{id}_L terminal) plus one
+      // 2-cycle; the pointer-jumping resolver must map every element to
+      // its terminal with the EXACT hop count, and flag the cycle rows as
+      // looped with hops clamped to maxHops=8. The oracle re-derives
+      // every row analytically (final = position arithmetic) — it never
+      // simulates the joins; the cycle rows are literals.
+      import s.implicits._
+      val docs = t(s, dir, "documents").select("doc_id")
+      val chain = docs
+        .select(col("doc_id"),
+          explode(sequence(lit(0), (col("doc_id") % 4).cast("int"))).as("k"))
+        .select(
+          expr("concat('https://r.example.com/p', CAST(doc_id AS STRING), '_', CAST(k AS STRING))")
+            .as("url"),
+          expr("""CASE WHEN k < CAST(doc_id % 4 AS INT)
+                       THEN concat('https://r.example.com/p', CAST(doc_id AS STRING),
+                                   '_', CAST(k + 1 AS STRING)) END""").as("redirect_to"))
+      val planted = Seq(
+        ("https://r.example.com/loopA", "https://r.example.com/loopB"),
+        ("https://r.example.com/loopB", "https://r.example.com/loopA"))
+        .toDF("url", "redirect_to")
+      graft.urls.Redirects.resolve(chain.unionByName(planted), maxHops = 8)
+        .orderBy("url")
+    }),
+
     "q65_budget_select" -> ((s, dir) => {
       // token-budget data selection under the gate: every doc scored by a
       // deterministic md5-derived quality stand-in (4 hex chars / 65535 —
@@ -2475,6 +2502,25 @@ object SparkEntry {
                         + 17 * coalesce(i3.infl, 0)) // 20 AS rank
                 FROM nodes nd LEFT JOIN i3 ON i3.host = nd.host)
          SELECT host, trusted, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY host""",
+
+    // q77: every (url, final_url, hops, looped) row re-derived from the
+    // chain arithmetic — the oracle never simulates pointer jumping; the
+    // deterministic cycle rows (final = the other member, hops clamped
+    // to 8) are literals
+    "q77_redirect_resolve" ->
+      """WITH gen AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS len FROM documents),
+         r AS (
+           SELECT 'https://r.example.com/p' || CAST(doc_id AS VARCHAR)
+                    || '_' || CAST(u.k AS VARCHAR) AS url,
+                  'https://r.example.com/p' || CAST(doc_id AS VARCHAR)
+                    || '_' || CAST(len AS VARCHAR) AS final_url,
+                  CAST(len - u.k AS BIGINT) AS hops,
+                  false AS looped
+           FROM gen, unnest(generate_series(0, len)) AS u(k))
+         SELECT url, final_url, hops, looped FROM r
+         UNION ALL SELECT 'https://r.example.com/loopA', 'https://r.example.com/loopB', 8, true
+         UNION ALL SELECT 'https://r.example.com/loopB', 'https://r.example.com/loopA', 8, true
+         ORDER BY url""",
 
     // q65: the oracle ranks with ONE plain ordered window cumsum over the
     // whole corpus (score desc, id asc — the single-partition shape the
