@@ -1345,6 +1345,40 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    "q78_sitemap_index" -> ((s, dir) => {
+      // sitemap INDEX ingestion under the gate — the missing hop of the
+      // robots → index → sitemap → frontier chain (any site past the
+      // protocol's 50k-URL file cap ships an index): one index per site
+      // (doc_id % 10), every doc a <sitemap> entry, every 4th omitting
+      // <lastmod>. The oracle re-derives every (site, pos, loc,
+      // lastmod_epoch) row analytically (q61's move); lastmod is
+      // projected to epoch seconds for tz-representation-free compare
+      // (the q62 floor(epoch) precedent).
+      val docs = t(s, dir, "documents").select("doc_id")
+      val entry = expr(
+        """concat('<sitemap><loc>https://s', CAST(doc_id % 10 AS STRING),
+                  '.example.com/sm', CAST(doc_id AS STRING), '.xml</loc>',
+             CASE WHEN doc_id % 4 = 0 THEN ''
+                  ELSE concat('<lastmod>2026-05-',
+                              lpad(CAST(1 + doc_id % 28 AS STRING), 2, '0'), 'T',
+                              lpad(CAST(doc_id % 24 AS STRING), 2, '0'),
+                              ':00:00</lastmod>') END,
+             '</sitemap>')""")
+      val idx = docs
+        .withColumn("site", col("doc_id") % 10)
+        .withColumn("e", entry)
+        .groupBy("site")
+        .agg(concat(lit("<sitemapindex>"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("doc_id"), col("e")))),
+            x => x.getField("e")), ""),
+          lit("</sitemapindex>")).as("xml"))
+      graft.plan.Sitemaps.parseIndex(idx, keep = Seq("site"))
+        .select(col("site"), col("sitemap_pos").cast("long").as("sitemap_pos"),
+          col("loc"), unix_timestamp(col("lastmod")).as("lastmod_epoch"))
+        .orderBy("site", "sitemap_pos")
+    }),
+
     "q65_budget_select" -> ((s, dir) => {
       // token-budget data selection under the gate: every doc scored by a
       // deterministic md5-derived quality stand-in (4 hex chars / 65535 —
@@ -2521,6 +2555,24 @@ object SparkEntry {
          UNION ALL SELECT 'https://r.example.com/loopA', 'https://r.example.com/loopB', 8, true
          UNION ALL SELECT 'https://r.example.com/loopB', 'https://r.example.com/loopA', 8, true
          ORDER BY url""",
+
+    // q78: the oracle never parses the index XML — per-site positions,
+    // locs and the optional lastmod (as epoch seconds) all re-derived
+    // from the generation arithmetic
+    "q78_sitemap_index" ->
+      """WITH e AS (
+           SELECT doc_id % 10 AS site,
+                  row_number() OVER (PARTITION BY doc_id % 10 ORDER BY doc_id) - 1 AS sitemap_pos,
+                  'https://s' || CAST(doc_id % 10 AS VARCHAR) || '.example.com/sm'
+                    || CAST(doc_id AS VARCHAR) || '.xml' AS loc,
+                  CASE WHEN doc_id % 4 = 0 THEN NULL
+                       ELSE CAST(floor(epoch(CAST(
+                              '2026-05-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+                                || 'T' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+                                || ':00:00' AS TIMESTAMP))) AS BIGINT) END AS lastmod_epoch
+           FROM documents)
+         SELECT site, CAST(sitemap_pos AS BIGINT) AS sitemap_pos, loc, lastmod_epoch
+         FROM e ORDER BY site, sitemap_pos""",
 
     // q65: the oracle ranks with ONE plain ordered window cumsum over the
     // whole corpus (score desc, id asc — the single-partition shape the

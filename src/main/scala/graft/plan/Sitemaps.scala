@@ -57,6 +57,37 @@ object Sitemaps {
       .drop("block")
   }
 
+  /** Sitemap INDEX files (sitemaps.org `<sitemapindex>`): a large site's
+    * robots.txt usually names one index whose `<sitemap>` entries point
+    * at the real urlset sitemaps (the protocol caps a single file at 50k
+    * URLs, so any site beyond that ships an index). This is the missing
+    * hop in the robots → sitemap → frontier chain: index docs must fan
+    * out into sitemap-fetch jobs, not frontier rows. Same codegen'd
+    * parse shape as [[parseEntries]] (lazy block split + per-field
+    * extracts, try-cast hostility tolerance); `<lastmod>` here is the
+    * recrawl signal for the SITEMAP fetch itself.
+    *
+    * @return keep columns + (sitemap_pos, loc, lastmod TIMESTAMP?) —
+    *         loc-less blocks dropped
+    */
+  def parseIndex(
+      indexes: DataFrame,
+      xmlCol: String = "xml",
+      keep: Seq[String] = Seq.empty): DataFrame = {
+    val keepCols = keep.map(col)
+    indexes
+      .select(keepCols :+ posexplode(
+        regexp_extract_all(col(xmlCol), lit("<sitemap>(.*?)</sitemap>"), lit(1)))
+        .as(Seq("sitemap_pos", "block")): _*)
+      .withColumn("loc", field(col("block"), "loc"))
+      // index lastmod is a W3C datetime (timestamp-grained, unlike the
+      // date-grained urlset entries this engine ingests via parseEntries)
+      .withColumn("lastmod",
+        expr("try_cast(nullif(regexp_extract(block, '<lastmod>([^<]*)</lastmod>', 1), '') AS TIMESTAMP)"))
+      .where(col("loc").isNotNull)
+      .drop("block")
+  }
+
   /** Entries not already in the seen set — the rows that actually enter
     * the frontier. LEFT ANTI on the canonical URL: the seen side stays
     * slim (one string column), so the join build side is as small as the

@@ -32,6 +32,26 @@ class FrontierOpsSpec extends SparkSpec {
     assert(v(5L) === "ok", "the list matches hosts, never paths")
   }
 
+  test("sitemap index parse: nested sitemap locs, optional/hostile lastmod, loc-less drop") {
+    val xml =
+      """<sitemapindex>
+        |<sitemap><loc>https://a.com/sm1.xml</loc><lastmod>2026-05-03T07:00:00</lastmod></sitemap>
+        |<sitemap><loc>https://a.com/sm2.xml</loc></sitemap>
+        |<sitemap><lastmod>2026-01-01T00:00:00</lastmod></sitemap>
+        |<sitemap><loc>https://a.com/sm3.xml</loc><lastmod>not-a-time</lastmod></sitemap>
+        |</sitemapindex>""".stripMargin
+    val out = Sitemaps.parseIndex(Seq((7, xml)).toDF("site", "xml"), keep = Seq("site"))
+      .select("site", "sitemap_pos", "loc", "lastmod")
+      .as[(Int, Int, String, Option[java.sql.Timestamp])].collect().sortBy(_._2)
+    assert(out.map(_._3).toSeq === Seq(
+      "https://a.com/sm1.xml", "https://a.com/sm2.xml", "https://a.com/sm3.xml"),
+      "loc-less block dropped; document order preserved")
+    assert(out(0)._4.get.toString.startsWith("2026-05-03 07:00:00"))
+    assert(out(1)._4.isEmpty, "absent lastmod is NULL")
+    assert(out(2)._4.isEmpty, "hostile lastmod try-casts to NULL, never fails the batch")
+    assert(out.map(_._2).toSeq === Seq(0, 1, 3), "positions are raw block positions")
+  }
+
   test("trap heuristics fire on depth and params; blocked wins precedence") {
     val deep = "https://a.com/" + "s/" * 9 + "page"
     val paramy = "https://a.com/p?" + (1 to 7).map(i => s"k$i=1").mkString("&")
