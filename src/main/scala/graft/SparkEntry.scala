@@ -329,12 +329,17 @@ object SparkEntry {
       // lowered tokens cross a projection boundary: the 4 profile filters
       // reference the array from lambda bodies, which Catalyst CSE cannot
       // deduplicate — inline, the text re-splits once per profile per row
+      // ONLY the en score is consumed, so compute only it (identical
+      // arithmetic to the map entry — see stopRatioFromTokens): the map
+      // form evaluated all 4 profiles' token filters per row behind an
+      // element_at Catalyst cannot prune (measured r07: 4 stop-scans → 1)
       t(s, dir, "documents")
         .select(col("doc_id"), col("text"),
           TextFns.loweredTokens(col("text")).as("__ltk"))
         .select(
           col("doc_id"),
-          round(element_at(TextFns.langScoresFromTokens(col("__ltk")), "en"), 4).as("en_stop_ratio"),
+          round(TextFns.stopRatioFromTokens(
+            col("__ltk"), TextFns.LangProfiles.head._2), 4).as("en_stop_ratio"),
           TextFns.subwordCount(col("text")).as("n_subwords"))
         .orderBy("doc_id")
     }),

@@ -380,25 +380,43 @@ object CrawlJob {
 
       // per-partition lineage (north_rule): file-granular row counts of
       // every data file this round committed, written alongside the data —
-      // the manifest-entry content of an Iceberg snapshot. Reading the
-      // just-written slim parquet back is one cheap scan per table. The
-      // (file-granular ⇒ tiny by construction) result is collected once and
-      // serves double duty: it IS the lineage delta, and its frontier rows
-      // sum to the next round's frontier count — saving a full frontier
-      // re-scan per round just to decide loop termination.
-      val lineageDelta = Seq(
+      // the manifest-entry content of an Iceberg snapshot. Row counts come
+      // from the PARQUET FOOTERS of the just-written files (driver-side
+      // metadata reads — the Iceberg manifest construction), NOT from
+      // re-scanning the tables: the previous shape ran one
+      // groupBy(input_file_name) job per table per round — three extra
+      // Spark jobs + shuffles whose answer the writer's own file metadata
+      // already held. File count per round delta is bounded by the write
+      // parallelism, so this is O(files) footer opens, never O(rows).
+      // The (file-granular ⇒ tiny by construction) result serves double
+      // duty: it IS the lineage delta, and its frontier rows sum to the
+      // next round's frontier count — saving a full frontier re-scan per
+      // round just to decide loop termination.
+      val lineageSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "round INT, table STRING, file STRING, rows BIGINT")
+      val lineageRows: Array[org.apache.spark.sql.Row] = Seq(
         ("frontier", frontierPath), ("seen", seenPath), ("rates", ratesPath))
-        .map { case (name, p) =>
-          spark.read.parquet(p)
-            .groupBy(input_file_name().as("file"))
-            .agg(count(lit(1)).as("rows"))
-            .select(lit(round).as("round"), lit(name).as("table"), col("file"), col("rows"))
-        }
-        .reduce(_ unionAll _)
-      val lineageRows = lineageDelta.collect()
+        .flatMap { case (name, p) =>
+          val dir = new org.apache.hadoop.fs.Path(p)
+          val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+          fs.listStatus(dir).toIndexedSeq
+            .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+            .map { st =>
+              val n = org.apache.parquet.hadoop.ParquetFileReader.open(
+                org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(
+                  st, spark.sessionState.newHadoopConf())) match {
+                case r => try r.getRecordCount finally r.close()
+              }
+              (st.getPath.toString, n)
+            }
+            .filter(_._2 > 0) // 0-row part files never appeared under input_file_name either
+            .map { case (f, n) =>
+              org.apache.spark.sql.Row(round, name, f, n)
+            }
+        }.toArray
       val lineagePath = store.dataPath("lineage", round)
       spark.createDataFrame(
-        java.util.Arrays.asList(lineageRows: _*), lineageDelta.schema)
+        java.util.Arrays.asList(lineageRows: _*), lineageSchema)
         .write.mode("overwrite").parquet(lineagePath)
       lineagePaths = lineagePaths :+ lineagePath
 

@@ -27,6 +27,13 @@ object Clusters {
 
   /** One large-star operation: every node points its LARGER neighbors at
     * the minimum of its neighborhood (including itself).
+    *
+    * No internal distinct(): the output feeds [[smallStar]], whose min is
+    * duplicate-insensitive and whose own final distinct restores set
+    * semantics for the per-iteration checkpoint. The pre-distinct row
+    * count is bounded by the (directed) edge count — never quadratic — so
+    * dropping the exchange is free at any scale (one shuffle per
+    * iteration saved; r07 measurement).
     */
   private def largeStar(edges: DataFrame): DataFrame = {
     val sym = edges.select(col("src").as("u"), col("dst").as("v"))
@@ -36,7 +43,6 @@ object Clusters {
       .withColumn("m", least(min(col("v")).over(w), col("u")))
       .filter(col("v") > col("u"))
       .select(col("v").as("src"), col("m").as("dst"))
-      .distinct()
   }
 
   /** One small-star operation: every node links its SMALLER neighbors (and
@@ -98,6 +104,23 @@ object Clusters {
       spark.read.parquet(p)
     }
 
+    /** Checkpoint + convergence signature in ONE job: the (count,
+      * xor-of-hashes) set signature rides the checkpoint write as an
+      * `Observation` instead of a separate aggregation job over the
+      * re-read parquet — one action per iteration, not two (guide §1.5 /
+      * §2.4: don't pay a second pass for a scalar the first pass already
+      * saw).
+      */
+    def checkpointWithSig(df: DataFrame, iter: Int): (DataFrame, (Long, Long)) = {
+      val obs = org.apache.spark.sql.Observation(s"graft.cc.sig.$iter.${System.nanoTime()}")
+      val out = checkpoint(
+        df.observe(obs, count(lit(1)).as("n"),
+          coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L)).as("x")),
+        iter)
+      val m = obs.get
+      (out, (m("n").asInstanceOf[Long], m("x").asInstanceOf[Long]))
+    }
+
     // canonical edge set: (min, max), no self-loops, no duplicates —
     // checkpointed BEFORE the first iteration: largeStar references its
     // input twice (the symmetrization union), and an un-materialized pair
@@ -122,17 +145,16 @@ object Clusters {
     var converged = false
     while (!converged && iter < maxIter) {
       iter += 1
-      edges = checkpoint(smallStar(largeStar(edges)), iter)
-      // order-insensitive set checksum on the SAME pass as the count.
+      // order-insensitive set checksum on the SAME job as the checkpoint
+      // write (checkpointWithSig — no separate aggregation pass).
       // Known trade: two DIFFERENT consecutive edge sets with equal counts
       // whose 64-bit xor-of-hashes collide would declare convergence one
       // iteration early (probability ~2^-64 per iteration — the xor of
       // xxhash64 values over a changed set is uniformly distributed). An
       // exact set compare would cost a full anti-join per iteration;
       // accepted odds, documented rather than paid for.
-      val row = edges.agg(
-        count(lit(1)), coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L))).head()
-      val sig = (row.getLong(0), row.getLong(1))
+      val (next, sig) = checkpointWithSig(smallStar(largeStar(edges)), iter)
+      edges = next
       converged = prev.contains(sig)
       prev = Some(sig)
     }

@@ -141,38 +141,38 @@ object DocDedup {
       coalesce(sum(when(col(rnCol) > warnAt, 1L).otherwise(0L)), lit(0L)).as("hot"))
   }
 
-  /** Largest `maxBucket` the collect-then-flatten pair shape may serve:
-    * C(2048, 2) ≈ 2.1M pair structs ≈ 34 MB as one array value — two orders
-    * of magnitude under the JVM's 2^31 array-length ceiling. Above this the
-    * self-join shape takes over (see [[cappedBucketPairs]]).
-    */
-  private[graft] val MaxArrayPairBucket = 2048
-
   /** The shared candidate-pair skeleton for bucketed near-dup methods:
     * a SLIM (id, bucket keys…) stream is ranked per bucket, capped (with the
-    * dropped coverage observed on the same job), and turned into i<j pairs.
-    * TWO shapes, chosen by the cap, because neither dominates:
+    * dropped coverage observed on the same job), MATERIALIZED once
+    * (localCheckpoint — the stream is slim by contract, bytes/row), and
+    * turned into i<j pairs by a self-join of the materialized blocks.
     *
-    *  - `maxBucket` ≤ [[MaxArrayPairBucket]]: group ids per bucket (the
-    *    groupBy reuses the window's partitioning — no extra exchange) and
-    *    emit the pairs from one bounded nested transform. Single consumer —
-    *    the expensive upstream (signature kernels) runs ONCE.
-    *  - larger caps: a self-join of the capped stream on the bucket keys.
-    *    A bucket at the simhash default cap (100k ids ⇒ 5·10^9 pairs) would
-    *    overflow the 2^31 array limit as one flattened value; the join
-    *    STREAMS those pairs as rows (the inner side buffers ≤ cap slim rows
-    *    per key). Cost, honestly: Spark does not reuse the exchange between
-    *    the two sides (the lambda-heavy signature subtrees defeat plan
-    *    canonicalization — measured, not assumed), so the upstream kernel
-    *    runs twice; that is the price of unbounded-cap memory safety, paid
-    *    only by callers who raise the cap past the array bound. The
-    *    observer rides only side A — duplicate CollectMetrics names in one
-    *    query are an analysis error, and one side sees every ranked row.
+    * Why the join shape, always (r07 — this replaced a collect-then-flatten
+    * array shape for caps ≤ 2048):
+    *
+    *  - it STREAMS candidate pairs as rows: a bucket at cap 1000 emits its
+    *    C(1000,2) ≈ 500k pairs from the hash join's probe loop instead of
+    *    materializing them as one nested-transform array value per bucket
+    *    (per-pair struct allocation, single task per bucket, and a hard
+    *    2^31 array ceiling at large caps).
+    *  - it exposes pair predicates to Catalyst: a caller's filter over
+    *    (id_a, id_b) — e.g. the gated queries' planted-pair projections —
+    *    pushes INTO the join condition and is evaluated per probe, never
+    *    against 10^7 materialized pair rows (measured r07: the sf0.1
+    *    corpus generates 14.7M raw fingerprint bucket pairs; the array
+    *    shape spent ~6 s allocating them before any filter could run).
+    *  - the single materialization means the expensive upstream (signature
+    *    kernels + cap window) runs ONCE even with two join sides: Spark
+    *    does not reuse the exchange between two lazily-restated sides
+    *    (lambda-heavy signature subtrees defeat plan canonicalization —
+    *    measured, not assumed).
     *
     * Fat payload columns (signatures, embeddings) must NOT be in
     * `bucketed` — callers attach them to the surviving pairs afterwards
     * (see [[attachPairSides]]). row_number for the cap so a degenerate
-    * bucket of any size streams through the rank instead of materializing.
+    * bucket of any size streams through the rank instead of materializing;
+    * the build side of the self-join buffers ≤ cap slim rows per key.
+    * The observer rides the single materialization and fires on its job.
     */
   private[graft] def cappedBucketPairs(
       bucketed: DataFrame, // (id, <bucketCols…>)
@@ -181,28 +181,15 @@ object DocDedup {
       logDropped: Boolean,
       op: String): DataFrame = {
     val w = Window.partitionBy(bucketCols.map(col): _*).orderBy("id")
-    def capped(observe: Boolean): DataFrame = {
-      val ranked = bucketed.withColumn("__rn", row_number().over(w))
-      val observed = if (observe) withDroppedObserver(op, ranked, "__rn", maxBucket) else ranked
-      observed.filter(col("__rn") <= maxBucket).drop("__rn")
-    }
-    val pairs =
-      if (maxBucket <= MaxArrayPairBucket)
-        capped(logDropped)
-          .groupBy(bucketCols.map(col): _*)
-          .agg(sort_array(collect_list(col("id"))).as("ids"))
-          .filter(size(col("ids")) >= 2)
-          .select(explode(flatten(transform(col("ids"), (x, i) =>
-            transform(slice(col("ids"), i + 2, size(col("ids"))),
-              y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
-          .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      else
-        capped(logDropped).select(bucketCols.map(col) :+ col("id").as("id_a"): _*)
-          .join(capped(observe = false).select(bucketCols.map(col) :+ col("id").as("id_b"): _*),
-            bucketCols)
-          .filter(col("id_a") < col("id_b"))
-          .select("id_a", "id_b")
-    pairs.dropDuplicates("id_a", "id_b")
+    val ranked = bucketed.withColumn("__rn", row_number().over(w))
+    val observed = if (logDropped) withDroppedObserver(op, ranked, "__rn", maxBucket) else ranked
+    val capped = observed.filter(col("__rn") <= maxBucket).drop("__rn").localCheckpoint()
+    capped.select(bucketCols.map(col) :+ col("id").as("id_a"): _*)
+      .join(capped.select(bucketCols.map(col) :+ col("id").as("id_b"): _*),
+        bucketCols)
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Attach a per-id payload column to both sides of a pair frame with ONE
@@ -240,22 +227,29 @@ object DocDedup {
     // input scan has fewer splits than cores (no-op at real scale).
     // Each select is a REQUIRED materialization boundary (see
     // minhashSignature scaladoc — lambda bodies defeat CSE).
-    val base = graft.util.Par.spread(docs)
+    // The (id, sig) table is MATERIALIZED once (localCheckpoint): it has
+    // TWO consumers — the band/bucket explode and the pair attach — and
+    // Spark re-executes a lazily-shared plan per consumer (the lambda-heavy
+    // kernel defeats exchange-reuse canonicalization), so without the
+    // materialization the whole shingle→hash→numHashes-permutation kernel
+    // ran TWICE per corpus. Signatures are numHashes longs/doc (~512 B at
+    // the default 64) — orders of magnitude slimmer than the text they
+    // summarize, the guide's "decide with small rows" shape.
+    val sigTable = graft.util.Par.spread(docs)
       .select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
       .select(col("id"), shingleHashes(col("sh")).as("shh"))
+      .select(col("id"), minhashSignature(col("shh"), numHashes).as("sig"))
+      .localCheckpoint()
     // SLIM bucket stream: the fat numHashes-long signature never rides the
     // band explode (16 copies/doc), the window, the observer barrier, or any
     // shuffle — candidate generation moves only (id, band, bucket) rows.
     // (Carrying the signature instead was the measured 2.5x q27 regression
     // in round 2.)
-    val buckets = base
-      .withColumn("sig", minhashSignature(col("shh"), numHashes))
+    val buckets = sigTable
       .select(col("id"), explode(lshBuckets(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
     val pairs = cappedBucketPairs(buckets, Seq("band", "bucket"), maxBucket, logDropped, "minhashPairs")
-    // recompute the signature once and attach it ONLY to surviving pairs
-    val sigTable = base
-      .select(col("id"), minhashSignature(col("shh"), numHashes).as("sig"))
+    // attach the materialized signature ONLY to surviving pairs
     attachPairSides(pairs, sigTable, "sig")
       .withColumn(
         "est_jaccard",
@@ -332,17 +326,18 @@ object DocDedup {
     * Scale shape: same slim-stream skeleton as [[minhashPairs]] — a 16-bit
     * chunk key has only 65536 values, so at 10^10 docs EVERY bucket is hot
     * (~150k docs ⇒ 10^10 candidate pairs per bucket uncapped); `maxBucket`
-    * bounds that with the dropped coverage observed on-job. Cost model,
-    * honestly: the per-token md5 signature kernel runs twice over the
-    * corpus either way (bucket stream + pair attach here; both join sides
-    * in a renamed self-join) — what the shared skeleton buys is the
-    * cap/observer machinery and streamed pair emission, not a kernel pass.
+    * bounds that with the dropped coverage observed on-job. The (id, sig)
+    * table is materialized once (localCheckpoint — 16 B/doc) so the
+    * per-token md5 signature kernel runs exactly ONE corpus pass; the
+    * bucket stream, the capped self-join sides and the pair attach all
+    * read the materialized blocks.
     */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       maxHamming: Int = 3, maxBucket: Int = 100000,
       logDropped: Boolean = true): DataFrame = {
     val base = graft.util.Par.spread(docs)
       .select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+      .localCheckpoint()
     val bucketed = base.select(col("id"), explode(array((0 until 4).map { c =>
       struct(lit(c).as("c"), shiftrightunsigned(col("sig"), c * 16).bitwiseAND(lit(0xffffL)).as("v"))
     }: _*)).as("chunk"))
@@ -384,9 +379,13 @@ object DocDedup {
       k: Int = 9, window: Int = 16, minShared: Int = 3,
       maxBucket: Int = 1000, hashKind: String = "poly",
       logDropped: Boolean = true): DataFrame = {
+    // materialized once (localCheckpoint): the winnow kernel is the
+    // expensive per-row pass and the (id, fp) table has two consumers
+    // (bucket explode + pair attach) — see the minhashPairs shape note
     val base = graft.util.Par.spread(docs).select(
       col(idCol).as("id"),
       graft.functions.TextFns.fingerprint(col(textCol), k, window, hashKind).as("fp"))
+      .localCheckpoint()
     val buckets = base.select(col("id"), explode(col("fp")).as("h"))
     val pairs = cappedBucketPairs(buckets, Seq("h"), maxBucket, logDropped, "fingerprintPairs")
     attachPairSides(pairs, base, "fp")

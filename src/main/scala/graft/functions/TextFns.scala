@@ -91,6 +91,19 @@ object TextFns {
       }: _*))
   }
 
+  /** ONE profile's stopword ratio over an already-materialized lowered
+    * token array — identical arithmetic to the matching entry of
+    * [[langScoresFromTokens]] (size(filter)/greatest(n,1)). Callers that
+    * consume a single language's score should use this instead of
+    * building the full L-profile map and extracting one entry: the map
+    * form evaluates every profile's filter per row, L× the work for the
+    * same answer (Catalyst cannot prune map_from_arrays entries behind an
+    * element_at).
+    */
+  def stopRatioFromTokens(loweredToks: Column, words: Seq[String]): Column =
+    size(filter(loweredToks, t => t.isin(words.map(_.asInstanceOf[Any]): _*))) /
+      greatest(size(loweredToks), lit(1)).cast("double")
+
   /** Predicted language code, or "und" when no profile scores > 0. */
   def langId(text: Column, profiles: Seq[(String, Seq[String])] = LangProfiles): Column =
     langIdFromTokens(loweredTokens(text), profiles)

@@ -51,16 +51,21 @@ object LinkGraph {
     */
   def rawLinks(pages: DataFrame, htmlCol: String = "html"): DataFrame = {
     val keep = pages.columns.filter(c => c != htmlCol).map(col).toIndexedSeq
+    // ONE regex pass over the page text (group 0), then per-match group
+    // extraction over the ~100-char anchor substrings: the previous shape
+    // ran the full-document scan twice (once per capture group). Re-running
+    // the same pattern on its own full match is exact — the match starts at
+    // position 0 of the substring and ends at its end, so every
+    // lazy/greedy boundary reproduces (r07, guide "per-task work").
     pages
       .select(keep :+
-        posexplode_outer(arrays_zip(
-          regexp_extract_all(col(htmlCol).cast("string"), lit(HrefRe), lit(1)),
-          regexp_extract_all(col(htmlCol).cast("string"), lit(HrefRe), lit(2)))): _*)
+        posexplode_outer(
+          regexp_extract_all(col(htmlCol).cast("string"), lit(HrefRe), lit(0))): _*)
       .filter(col("col").isNotNull)
       .select(
         keep :+ col("pos").cast("long").as("link_pos")
-          :+ col("col").getField("0").as("href_raw")
-          :+ trim(regexp_replace(col("col").getField("1"), "\\s+", " ")).as("anchor"): _*)
+          :+ regexp_extract(col("col"), HrefRe, 1).as("href_raw")
+          :+ trim(regexp_replace(regexp_extract(col("col"), HrefRe, 2), "\\s+", " ")).as("anchor"): _*)
   }
 
   /** Resolve a raw href against its base URL — the RFC 3986 subset a
@@ -261,45 +266,61 @@ object LinkGraph {
       df.write.mode("overwrite").parquet(p)
       spark.read.parquet(p)
     }
+    // checkpoint + one scalar aggregate in the SAME job (Observation rides
+    // the write — guide §1.5/§2.4: a scalar the writing pass already saw
+    // must not cost a second pass over the checkpointed frame)
+    def ckptObserve(df: DataFrame, name: String, metric: Column): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation(s"graft.pr.$name.${System.nanoTime()}")
+      val out = ckpt(df.observe(obs, metric.as("m")), name)
+      (out, obs.get("m").asInstanceOf[Long])
+    }
 
     val e = ckpt(
       edges.select(col("src").cast("string"), col("dst").cast("string"))
         .filter(col("src").isNotNull && col("dst").isNotNull)
         .distinct(),
       "edges")
-    val nodes = ckpt(
-      e.select(col("src").as("host")).unionAll(e.select(col("dst").as("host"))).distinct(),
-      "nodes")
-    // node count and the two per-iteration integer constants: collect() of
-    // ONE row — never data-sized
-    val n = nodes.count()
+    // nodes carry the STATIC out-degree (NULL = dangling) so that
+    //  - each iteration's dangling mass is a row-local conditional sum
+    //    over the ranks frame — observed on the checkpoint write of the
+    //    PREVIOUS iteration instead of a per-iteration anti-join +
+    //    aggregate job, and
+    //  - the per-source share is `rank div deg` computed row-locally on
+    //    the ranks frame (deg rides it) instead of a per-iteration
+    //    ranks ⋈ outDeg join.
+    // Node count (one scalar) rides the nodes checkpoint the same way.
+    val (nodes, n) = ckptObserve(
+      e.select(col("src").as("host")).unionAll(e.select(col("dst").as("host"))).distinct()
+        .join(e.groupBy(col("src").as("host")).agg(count(lit(1)).as("deg")), Seq("host"), "left")
+        .select(col("host"), col("deg")),
+      "nodes", count(lit(1)))
     require(n > 0, "pageRankInt: empty graph")
     val initRank = scale / n
     val baseTerm = ((dampDen - dampNum) * initRank) / dampDen
-    val outDeg = ckpt(e.groupBy("src").agg(count(lit(1)).as("deg")), "outdeg")
+    val danglingOf = coalesce(sum(when(col("deg").isNull, col("rank"))), lit(0L))
 
-    var ranks = ckpt(nodes.select(col("host"), lit(initRank).as("rank")), "iter-0")
+    var (ranks, dangling) = ckptObserve(
+      nodes.select(col("host"), col("deg"), lit(initRank).as("rank")),
+      "iter-0", danglingOf)
     var i = 1
     while (i <= iters) {
-      // dangling mass: ranks of nodes with no out-edges (one scalar)
-      val dangling = ranks.join(outDeg, ranks("host") === outDeg("src"), "left_anti")
-        .agg(coalesce(sum("rank"), lit(0L)).as("m")).collect()(0).getLong(0)
       val dangShare = dangling / n
-      // per-source integer share, then inflow per destination
-      val share = ranks.join(outDeg, ranks("host") === outDeg("src"))
+      // per-source integer share (row-local), then inflow per destination
+      val share = ranks.filter(col("deg").isNotNull)
         .select(col("host").as("s"), expr("rank div deg").as("share"))
       val inflow = e.join(share, e("src") === col("s"))
         .groupBy("dst").agg(sum("share").as("inflow"))
       val next = nodes.join(inflow, nodes("host") === inflow("dst"), "left")
-        .select(col("host"), expr(
+        .select(col("host"), col("deg"), expr(
           s"CAST($baseTerm AS BIGINT) + " +
             s"($dampNum * (coalesce(inflow, CAST(0 AS BIGINT)) + CAST($dangShare AS BIGINT))) div $dampDen")
           .as("rank"))
-      ranks = ckpt(next, s"iter-$i")
+      val (r2, d2) = ckptObserve(next, s"iter-$i", danglingOf)
+      ranks = r2; dangling = d2
       graft.dedup.Clusters.deleteRecursively(hadoopConf, s"$scratch/iter-${i - 1}")
       i += 1
     }
-    ranks
+    ranks.select("host", "rank")
   }
 
   /** Fixed-point integer TrustRank (Gyöngyi, Garcia-Molina & Pedersen,
@@ -347,45 +368,57 @@ object LinkGraph {
       df.write.mode("overwrite").parquet(p)
       spark.read.parquet(p)
     }
+    // same observe-on-write shape as pageRankInt: scalars ride the
+    // checkpoint job instead of costing their own aggregation pass
+    def ckptObserve(df: DataFrame, name: String, metric: Column): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation(s"graft.tr.$name.${System.nanoTime()}")
+      val out = ckpt(df.observe(obs, metric.as("m")), name)
+      (out, obs.get("m").asInstanceOf[Long])
+    }
 
     val e = ckpt(
       edges.select(col("src").cast("string"), col("dst").cast("string"))
         .filter(col("src").isNotNull && col("dst").isNotNull)
         .distinct(),
       "edges")
-    val nodes = ckpt(
+    // deg rides the nodes frame (pageRankInt's move): dangling mass is a
+    // conditional sum observed on the previous checkpoint write, the
+    // per-source share is row-local (no per-iteration ranks ⋈ outDeg
+    // join), and the trusted-seed count rides the nodes checkpoint
+    val (nodes, nT) = ckptObserve(
       e.select(col("src").as("host")).unionAll(e.select(col("dst").as("host"))).distinct()
         .join(trusted.select(col("host")).distinct().withColumn("__t", lit(true)),
           Seq("host"), "left")
-        .select(col("host"), coalesce(col("__t"), lit(false)).as("trusted")),
-      "nodes")
-    val nT = nodes.filter(col("trusted")).count()
+        .join(e.groupBy(col("src").as("host")).agg(count(lit(1)).as("deg")), Seq("host"), "left")
+        .select(col("host"),
+          coalesce(col("__t"), lit(false)).as("trusted"),
+          col("deg")),
+      "nodes", coalesce(sum(when(col("trusted"), 1L)), lit(0L)))
     require(nT > 0, "trustRankInt: no trusted seed exists in the graph")
     val seedShare = scale / nT
     val baseTerm = (dampDen - dampNum) * seedShare // divided by dampDen inside the loop
-    val outDeg = ckpt(e.groupBy("src").agg(count(lit(1)).as("deg")), "outdeg")
+    val danglingOf = coalesce(sum(when(col("deg").isNull, col("rank"))), lit(0L))
 
-    var ranks = ckpt(
-      nodes.select(col("host"),
+    var (ranks, dangling) = ckptObserve(
+      nodes.select(col("host"), col("trusted"), col("deg"),
         when(col("trusted"), lit(seedShare)).otherwise(lit(0L)).as("rank")),
-      "iter-0")
+      "iter-0", danglingOf)
     var i = 1
     while (i <= iters) {
-      val dangling = ranks.join(outDeg, ranks("host") === outDeg("src"), "left_anti")
-        .agg(coalesce(sum("rank"), lit(0L)).as("m")).collect()(0).getLong(0)
       val dangShare = dangling / nT
-      val share = ranks.join(outDeg, ranks("host") === outDeg("src"))
+      val share = ranks.filter(col("deg").isNotNull)
         .select(col("host").as("s"), expr("rank div deg").as("share"))
       val inflow = e.join(share, e("src") === col("s"))
         .groupBy("dst").agg(sum("share").as("inflow"))
       val next = nodes.join(inflow, nodes("host") === inflow("dst"), "left")
-        .select(col("host"), col("trusted"), expr(
+        .select(col("host"), col("trusted"), col("deg"), expr(
           s"""(CASE WHEN trusted
                     THEN CAST($baseTerm AS BIGINT) + $dampNum * CAST($dangShare AS BIGINT)
                     ELSE CAST(0 AS BIGINT) END
                + $dampNum * coalesce(inflow, CAST(0 AS BIGINT))) div $dampDen""")
           .as("rank"))
-      ranks = ckpt(next, s"iter-$i")
+      val (r2, d2) = ckptObserve(next, s"iter-$i", danglingOf)
+      ranks = r2; dangling = d2
       graft.dedup.Clusters.deleteRecursively(hadoopConf, s"$scratch/iter-${i - 1}")
       i += 1
     }

@@ -150,9 +150,18 @@ object Dsir {
     }
     val tPath = s"$scratch/target-model"
     val rPath = s"$scratch/raw-model"
-    trainCounts(targetCorpus, buckets, targetTextCol)
-      .write.mode("overwrite").parquet(tPath)
-    trainCounts(docs, buckets, textCol).write.mode("overwrite").parquet(rPath)
+    // the two training scans are independent — submit them concurrently
+    // (the CrawlJob write-phase idiom, guide §2.6: back-fill the tail of
+    // one job with the other's tasks) instead of paying two full job
+    // latencies back to back
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence(Seq(
+      Future(trainCounts(targetCorpus, buckets, targetTextCol)
+        .write.mode("overwrite").parquet(tPath)),
+      Future(trainCounts(docs, buckets, textCol)
+        .write.mode("overwrite").parquet(rPath)))), Duration.Inf)
     weightsWith(docs, spark.read.parquet(tPath), spark.read.parquet(rPath),
       buckets, idCol, textCol)
   }

@@ -26,9 +26,9 @@ object Redirects {
     *                (one Location per url — HTTP guarantees it)
     * @param maxHops the follow GUARANTEE: every chain of ≤ maxHops hops
     *                resolves. Doubling rounds = ceil(log2(maxHops)), whose
-    *                coverage (2^(rounds+1) − 1 hops) may resolve somewhat
-    *                longer chains too; anything not terminating within
-    *                coverage — cycles and redirect bombs — reports
+    *                coverage (1 + 2^rounds hops ≥ maxHops) may resolve
+    *                somewhat longer chains too; anything not terminating
+    *                within coverage — cycles and redirect bombs — reports
     *                `looped = true` with hops clamped to maxHops.
     * @return one row per INPUT url: (url, final_url, hops, looped) —
     *         terminal pages resolve to themselves with 0 hops. A chain
@@ -63,16 +63,22 @@ object Redirects {
           col(redirectCol).cast("string").as("nxt"))
         .distinct(),
       "edges")
-    var state = ckpt(
-      pages.select(col(urlCol).cast("string").as("u"))
-        .distinct()
-        .join(edges, Seq("u"), "left")
-        .select(col("u"),
-          coalesce(col("nxt"), col("u")).as("cur"),
-          when(col("nxt").isNotNull, 1L).otherwise(0L).as("hops")),
-      "iter-0")
-    // jump table, doubled alongside the state: jump_k(u) = node after
-    // min(2^k, chain) hops from u, with the true hop count
+    // the state plan is consumed ONCE (by the final jump application below)
+    // — no checkpoint needed; it reads the already-checkpointed edge map
+    val state = pages.select(col(urlCol).cast("string").as("u"))
+      .distinct()
+      .join(edges, Seq("u"), "left")
+      .select(col("u"),
+        coalesce(col("nxt"), col("u")).as("cur"),
+        when(col("nxt").isNotNull, 1L).otherwise(0L).as("hops"))
+    // jump table ONLY is doubled: jump_k(u) = node after min(2^k, chain)
+    // hops from u, with the true hop count. The state is updated ONCE with
+    // the FINAL table (coverage 1 + 2^rounds ≥ maxHops) instead of after
+    // every doubling — updating it per round re-shuffled the full
+    // input-sized state `rounds` times for coverage the guarantee never
+    // promised (2^(rounds+1)−1 vs the contract's maxHops). Each doubling
+    // is one self-join of the redirect-SOURCES-only table (a small
+    // fraction of the input); only the last application touches all rows.
     var jump = ckpt(
       edges.select(col("u").as("ju"), col("nxt").as("jnxt"), lit(1L).as("jhops")),
       "jump-0")
@@ -86,22 +92,24 @@ object Redirects {
         .select(col("a.ju").as("ju"),
           coalesce(col("bnxt"), col("a.jnxt")).as("jnxt"),
           (col("a.jhops") + coalesce(col("bhops"), lit(0L))).as("jhops"))
-      jump = ckpt(j2, s"jump-$k")
-      val s2 = state.join(
-        jump.select(col("ju"), col("jnxt"), col("jhops")),
-        state("cur") === col("ju"), "left")
-        .select(col("u"),
-          coalesce(col("jnxt"), col("cur")).as("cur"),
-          (col("hops") + coalesce(col("jhops"), lit(0L))).as("hops"))
-      state = ckpt(s2, s"iter-$k")
-      graft.dedup.Clusters.deleteRecursively(hadoopConf, s"$scratch/iter-${k - 1}")
-      graft.dedup.Clusters.deleteRecursively(hadoopConf, s"$scratch/jump-${k - 1}")
+      // the LAST doubling has a single consumer (the final application) —
+      // checkpointing it would only add a write; intermediate tables are
+      // self-joined twice and must be materialized
+      jump = if (k < rounds) ckpt(j2, s"jump-$k") else j2
+      if (k < rounds)
+        graft.dedup.Clusters.deleteRecursively(hadoopConf, s"$scratch/jump-${k - 1}")
       k += 1
     }
+    val resolved = state.join(
+      jump.select(col("ju"), col("jnxt"), col("jhops")),
+      state("cur") === col("ju"), "left")
+      .select(col("u"),
+        coalesce(col("jnxt"), col("cur")).as("cur"),
+        (col("hops") + coalesce(col("jhops"), lit(0L))).as("hops"))
     // still pointing at a redirect SOURCE after the bound ⇒ cycle or
     // over-deep; report, don't follow
-    state.join(edges.select(col("u").as("eu")).distinct(),
-        state("cur") === col("eu"), "left")
+    resolved.join(edges.select(col("u").as("eu")).distinct(),
+        resolved("cur") === col("eu"), "left")
       .select(col("u").as(urlCol),
         col("cur").as("final_url"),
         when(col("eu").isNotNull, least(col("hops"), lit(maxHops.toLong)))

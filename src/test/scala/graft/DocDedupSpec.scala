@@ -171,18 +171,22 @@ class DocDedupSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
-  test("cappedBucketPairs: array and self-join shapes agree; big caps never build one pair array") {
-    // one hot bucket of 50 ids. Cap 40 picks the array shape; a cap above
-    // MaxArrayPairBucket picks the streaming self-join (the shape that
-    // cannot exceed the 2^31 array limit at the simhash default cap).
-    // Both must produce exactly the expected i<j pair set.
+  test("cappedBucketPairs: capped and uncapped pair sets exact; never builds one pair array") {
+    // one hot bucket of 50 ids. Cap 40 keeps the 40 lowest ids; a cap
+    // above the bucket size keeps everything. The streaming self-join (the
+    // ONLY shape since r07 — it cannot exceed the 2^31 array limit at any
+    // cap, and pair predicates push into its join condition) must produce
+    // exactly the expected i<j sets, and the plan must never materialize a
+    // flattened pair array.
     val bucketed = (1 to 50).map(i => (i.toLong, "b0")).toDF("id", "bucket")
     val arr = DocDedup.cappedBucketPairs(
       bucketed, Seq("bucket"), maxBucket = 40, logDropped = false, "spec")
     val expectCapped = (for { a <- 1 to 40; b <- (a + 1) to 40 } yield (a.toLong, b.toLong)).toSet
     assert(arr.as[(Long, Long)].collect().toSet === expectCapped)
+    val arrPlan = arr.queryExecution.optimizedPlan.toString
+    assert(!arrPlan.toLowerCase.contains("flatten"), arrPlan)
     val joined = DocDedup.cappedBucketPairs(
-      bucketed, Seq("bucket"), maxBucket = DocDedup.MaxArrayPairBucket + 1,
+      bucketed, Seq("bucket"), maxBucket = 2049,
       logDropped = false, "spec")
     val expectAll = (for { a <- 1 to 50; b <- (a + 1) to 50 } yield (a.toLong, b.toLong)).toSet
     assert(joined.as[(Long, Long)].collect().toSet === expectAll)
@@ -190,15 +194,15 @@ class DocDedupSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("flatten"), plan)
   }
 
-  test("self-join shape streams ~2M pairs from one hot bucket (beyond the array threshold)") {
-    // 2000 ids in ONE bucket with a cap above MaxArrayPairBucket: the join
+  test("self-join shape streams ~2M pairs from one hot bucket") {
+    // 2000 ids in ONE bucket with a cap above the bucket size: the join
     // path must emit exactly C(2000,2) = 1,999,000 pairs as rows — the
     // volume class where a single flattened pair array stops being an
     // option (and the count that would silently shrink if the join
     // condition or dedup were wrong)
     val bucketed = (1 to 2000).map(i => (i.toLong, 0)).toDF("id", "chunk")
     val pairs = DocDedup.cappedBucketPairs(
-      bucketed, Seq("chunk"), maxBucket = DocDedup.MaxArrayPairBucket + 1,
+      bucketed, Seq("chunk"), maxBucket = 2049,
       logDropped = false, "spec")
     assert(pairs.count() === 1999000L)
     assert(pairs.filter(col("id_a") >= col("id_b")).count() === 0L)
