@@ -38,6 +38,14 @@ object BenchExtra {
           println(f"[job] ${je.jobId}%4d ${(System.nanoTime() - t0) / 1e9}%7.3f s  $desc")
         }
       }
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val wall = (for { s <- si.submissionTime; c <- si.completionTime } yield (c - s) / 1e3)
+          .getOrElse(-1.0)
+        if (wall > 0.2)
+          println(f"[stage] ${si.stageId}%4d $wall%7.3f s  tasks=${si.numTasks}%4d  ${si.name.take(120)}")
+      }
     })
     val selected = SparkEntry.queries.toSeq
       .filter { case (n, _) => pfx.exists(n.startsWith) }.sortBy(_._1)

@@ -333,7 +333,7 @@ object SparkEntry {
       // arithmetic to the map entry — see stopRatioFromTokens): the map
       // form evaluated all 4 profiles' token filters per row behind an
       // element_at Catalyst cannot prune (measured r07: 4 stop-scans → 1)
-      t(s, dir, "documents")
+      graft.util.Par.spread(t(s, dir, "documents"))
         .select(col("doc_id"), col("text"),
           TextFns.loweredTokens(col("text")).as("__ltk"))
         .select(
@@ -382,7 +382,7 @@ object SparkEntry {
       // TextFns.langIdFromTokens scaladoc) is exercised under the driver
       // gate at a realistic profile count; the oracle below is GENERATED
       // from the same profile data, so it tracks automatically
-      t(s, dir, "documents")
+      graft.util.Par.spread(t(s, dir, "documents"))
         .select(col("doc_id"), col("lang"),
           TextFns.loweredTokens(col("text")).as("__ltk"))
         .select(col("doc_id"),
@@ -793,7 +793,7 @@ object SparkEntry {
         import s.implicits._
         piiFixture.toDF("doc_id", "text")
       }
-      docs.unionByName(planted)
+      graft.util.Par.spread(docs.unionByName(planted))
         .select(col("doc_id"),
           graft.functions.TextFns.redact(col("text")).as("red"))
         .orderBy("doc_id")
@@ -917,7 +917,7 @@ object SparkEntry {
                'page',
                concat('?a=', CAST(id % 10 AS STRING), repeat('&q=1', CAST(id % 8 AS INT))))"""))
       val blocklist = Seq("badtld", "tracker.example.com").toDF("suffix")
-      graft.urls.UrlFilter.verdicts(urls, blocklist)
+      graft.urls.UrlFilter.verdicts(graft.util.Par.spread(urls), blocklist)
         .select("id", "url", "host", "depth", "n_params", "verdict")
         .orderBy("id")
     }),
@@ -1005,7 +1005,7 @@ object SparkEntry {
                'page',
                concat('?a=', CAST(id % 10 AS STRING), repeat('&q=1', CAST(id % 8 AS INT))))"""))
       val blocklist = Seq("badtld", "tracker.example.com").toDF("suffix")
-      val ok = graft.urls.UrlFilter.verdicts(urls, blocklist)
+      val ok = graft.urls.UrlFilter.verdicts(graft.util.Par.spread(urls), blocklist)
         .filter(col("verdict") === "ok")
       val alloc = graft.politeness.HostBudget.apportion(
         ok.groupBy("host").agg(count(lit(1)).as("cnt")), budget = 100L)
@@ -1226,7 +1226,7 @@ object SparkEntry {
              'page',
              concat('?a=', CAST(id % 10 AS STRING), repeat('&q=1', CAST(id % 8 AS INT))))"""))
       val blocklist = Seq("badtld", "h7.example.com").toDF("suffix")
-      val backlog = graft.urls.UrlFilter.verdicts(urls, blocklist)
+      val backlog = graft.urls.UrlFilter.verdicts(graft.util.Par.spread(urls), blocklist)
         .filter(col("verdict") === "ok")
         .groupBy("host").agg(count(lit(1)).as("backlog"))
       val links = t(s, dir, "documents").select("doc_id")
@@ -1392,7 +1392,7 @@ object SparkEntry {
       // while the 20k-token budget lasts. The engine's histogram-prefix +
       // per-tie-group cumsum must equal the oracle's plain ordered window
       // cumsum — the single-partition shape the engine refuses.
-      val docs = t(s, dir, "documents").select(
+      val docs = graft.util.Par.spread(t(s, dir, "documents")).select(
         col("doc_id").as("id"),
         graft.functions.TextFns.tokenCount(col("text")).cast("long").as("n_tokens"),
         (expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS LONG)")
@@ -1514,8 +1514,8 @@ object SparkEntry {
         import s.implicits._
         htmlFixture.toDF("doc_id", "html")
       }
-      docs.select(col("doc_id"), html.as("html"))
-        .unionByName(planted)
+      graft.util.Par.spread(docs.select(col("doc_id"), html.as("html"))
+        .unionByName(planted))
         .select(col("doc_id"),
           graft.functions.TextFns.htmlToText(col("html")).as("txt"))
         .orderBy("doc_id")
@@ -1560,7 +1560,7 @@ object SparkEntry {
         import s.implicits._
         repFixture.toDF("doc_id", "text")
       }
-      docs.unionByName(planted)
+      graft.util.Par.spread(docs.unionByName(planted))
         .select(col("doc_id"), col("text"),
           graft.functions.TextFns.tokens(col("text")).as("__tk"),
           split(col("text"), "\n").as("__ln"))

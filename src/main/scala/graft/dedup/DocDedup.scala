@@ -431,7 +431,11 @@ object DocDedup {
     val candidates = minhashPairs(docs, idCol, textCol, numHashes = numHashes,
       bands = bands, threshold = threshold * candidateSlack,
       maxBucket = maxBucket, logDropped = logDropped)
-    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
+    // spread like every other kernel site: the shingle build otherwise
+    // runs at raw scan parallelism (1-2 splits on a small parquet —
+    // measured 3.4 s single-task at sf0.1; no-op at real scale)
+    val sh = graft.util.Par.spread(docs)
+      .select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
     attachPairSides(candidates.select("id_a", "id_b"), sh, "sh")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)

@@ -49,7 +49,11 @@ object LinkGraph {
     * order), `href_raw`, `anchor` (whitespace-collapsed, trimmed).
     * Pure codegen'd regexp over the page text — no UDF, no shuffle.
     */
-  def rawLinks(pages: DataFrame, htmlCol: String = "html"): DataFrame = {
+  def rawLinks(pages0: DataFrame, htmlCol: String = "html"): DataFrame = {
+    // spread first (the kernel-site rule): the href regex scan otherwise
+    // runs at raw scan parallelism (1-2 splits on a small page table;
+    // no-op at real scale where the scan has >= core-count splits)
+    val pages = graft.util.Par.spread(pages0)
     val keep = pages.columns.filter(c => c != htmlCol).map(col).toIndexedSeq
     // ONE regex pass over the page text (group 0), then per-match group
     // extraction over the ~100-char anchor substrings: the previous shape

@@ -124,8 +124,14 @@ object Corpus {
       normalizeNfc: Boolean = false): DataFrame = {
     val srcText =
       if (normalizeNfc) graft.expr.Native.nfcNormalize(col(textCol)) else col(textCol)
+    // spread BEFORE the verdict kernels: tokenize/langId/quality/md5 (and
+    // the optional NFC + repetition rungs) otherwise run at raw scan
+    // parallelism (1-2 splits on a small parquet); no-op at real scale.
+    // Batch-only — the streaming dual calls rowVerdicts directly and must
+    // not probe .rdd on a streaming frame.
     val slim = rowVerdicts(
-      docs.select(col(idCol).cast("long").as("id"), srcText.as("__text")),
+      graft.util.Par.spread(
+        docs.select(col(idCol).cast("long").as("id"), srcText.as("__text"))),
       "__text", keepLang, minTokens, maxTokens, minQuality, repetition)
       .select("id", "n_tokens", "pred_lang", "quality", "__h", "__r0")
     // passing docs first (false < true), then min id: rank 1 is the
@@ -223,7 +229,7 @@ object Corpus {
       partitions: Int = 32): DataFrame = {
     require(budget > 0, "budget must be positive")
     require(sepTokens >= 0, "sepTokens must be non-negative")
-    val slim = docs.select(
+    val slim = graft.util.Par.spread(docs).select(
       col(idCol).cast("long").as("id"),
       size(TextFns.tokens(col(textCol))).cast("long").as("n_tokens"),
       (size(TextFns.tokens(col(textCol))) + sepTokens).cast("long").as("__slot"))

@@ -45,7 +45,10 @@ object Decontaminate {
       .select(df.columns.toIndexedSeq.map(col) :+ TextFns.loweredTokens(col(c)).as("__ltk"): _*)
       .select(col("*"), explode(TextFns.ngrams(col("__ltk"), n)).as("__g"))
     val bg = grams(benchmark, benchTextCol).select("__g").distinct()
-    val hits = grams(docs.select(col(idCol).cast("long").as("id"), col(textCol)), textCol)
+    // corpus side spread first: the tokenize + n-gram explode otherwise
+    // runs at raw scan parallelism (no-op at real scale)
+    val hits = grams(graft.util.Par.spread(
+      docs.select(col(idCol).cast("long").as("id"), col(textCol))), textCol)
       .select("id", "__g")
       .join(broadcast(bg), Seq("__g"), "left_semi")
       .select("id").distinct()

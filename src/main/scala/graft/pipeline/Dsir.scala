@@ -56,7 +56,11 @@ object Dsir {
   private[pipeline] def featureBuckets(
       docs: DataFrame, buckets: Int,
       idCol: String, textCol: String): DataFrame =
-    docs
+    // spread first: the tokenize + per-feature md5 kernel otherwise runs
+    // at raw scan parallelism (1-2 splits on a small parquet; no-op at
+    // real scale) — it feeds a partial aggregation, so the whole map side
+    // was serialized on one task
+    graft.util.Par.spread(docs)
       .select(col(idCol).cast("long").as("id"),
         TextFns.loweredTokens(col(textCol)).as("__tk"))
       .select(col("id"), explode(featureStrings(col("__tk"))).as("__f"))
