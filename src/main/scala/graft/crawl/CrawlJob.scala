@@ -331,6 +331,9 @@ object CrawlJob {
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
       def persist(name: String, df: DataFrame): Future[String] = Future {
+        // job description is thread-local — label each concurrent write so
+        // the UI/job listeners can attribute the write phase (guide §1.5)
+        spark.sparkContext.setJobDescription(s"crawl r$round: write $name")
         val p = store.dataPath(name, round)
         // reference-parity insert batching (§2#23, pipelines.py's 100-row
         // executemany chunks): when enabled, each committed RATES file
@@ -358,6 +361,7 @@ object CrawlJob {
       // partition saturates and must be rebuilt at doubled capacity.
       val firstTryKeys = sched.filter(col("retries") === 0).select(col("urlHash"))
       val bloomMerge = Future {
+        spark.sparkContext.setJobDescription(s"crawl r$round: bloom merge")
         UrlSeen.mergeDeltaIntoPartitionedBlooms(
           firstTryKeys,
           seenDf.select("urlHash").unionByName(firstTryKeys),
