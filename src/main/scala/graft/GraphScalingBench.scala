@@ -27,12 +27,20 @@ import java.nio.file.{Files, Paths}
   */
 object GraphScalingBench {
 
-  private val GeneratorVersion = 1
+  private val GeneratorVersion = 2
 
   def main(args: Array[String]): Unit = {
     val nEdges = sys.env.getOrElse("SPARK_GRAFT_BENCH_EDGES", "8000000").toLong
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_PR_ITERS", "3").toInt
-    val knobs = s"edges=$nEdges;iters=$iters"
+    // gen=2 in the knob key: the v1 corpus fingerprint sampled on
+    // monotonically_increasing_id(), which is PARTITION-DEPENDENT — two
+    // parallelism levels derived different fingerprints and silently wrote
+    // and read their own corpus files, defeating the identical-input
+    // protocol the N-vs-4N efficiency numbers rely on. v2 samples on the
+    // range id (partition-independent, the DedupScalingBench shape), and
+    // keying the knobs by generation keeps report from ever combining v1
+    // rows with v2 rows.
+    val knobs = s"edges=$nEdges;iters=$iters;gen=$GeneratorVersion"
     Files.createDirectories(Paths.get("BENCH"))
     val runsFile = Paths.get("BENCH/graph_scaling_runs.tsv")
     args.headOption match {
@@ -73,10 +81,14 @@ object GraphScalingBench {
     }
   }
 
-  /** Deterministic skewed host graph: one row per edge id. */
+  /** Deterministic skewed host graph: one row per edge id. The range id
+    * rides along so the corpus fingerprint can sample on a
+    * partition-independent key (dropped before the write).
+    */
   private def edges(spark: SparkSession, nEdges: Long) = {
     val nHosts = math.max(nEdges / 20L, 64L)
     spark.range(nEdges).select(
+      col("id"),
       concat(lit("h"), (col("id") % nHosts).cast("string")).as("src"),
       concat(lit("h"),
         when(col("id") % 10 < 3, pmod(col("id") * 2654435761L, lit(1024L)))
@@ -100,15 +112,19 @@ object GraphScalingBench {
     try {
       // corpus written once at a FIXED 32-file layout (the DedupScalingBench
       // lesson: both levels must read identical files to be comparable),
-      // keyed by a sampled content fingerprint + generator version
+      // keyed by a sampled content fingerprint + generator version. The
+      // sample key is the RANGE id (value-pure, partition-independent) —
+      // monotonically_increasing_id() embeds the partition index, so two
+      // parallelism levels sampled different rows, derived different
+      // fingerprints and each read its own corpus (the r06 ADVICE finding).
       val step = math.max(nEdges / 1000L, 1L)
       val genFp = edges(spark, nEdges)
-        .filter(pmod(monotonically_increasing_id(), lit(step)) === 0L)
+        .filter(pmod(col("id"), lit(step)) === 0L)
         .select(expr(s"bit_xor(xxhash64(src, dst, $GeneratorVersion))").as("h"))
         .head().getLong(0)
       val path = f"$tmp/graft-graph-edges-$nEdges-$genFp%016x"
       if (!Files.exists(Paths.get(path, "_SUCCESS")))
-        edges(spark, nEdges).repartition(32).write.mode("overwrite").parquet(path)
+        edges(spark, nEdges).drop("id").repartition(32).write.mode("overwrite").parquet(path)
       val e = spark.read.parquet(path)
       val work = Files.createTempDirectory("graft-pr-bench").toString
       val t0 = System.nanoTime()
