@@ -150,31 +150,54 @@ object Ann {
     val train = corpus
       .join(broadcast(keys), col(idCol) === col("__k"))
       .select(col("__h"), col("embedding").cast("array<double>").as("emb"))
+      // fixed sample-sized layout for the iteration scans: a small corpus
+      // arrives as one scan split (every Lloyd pass single-task), a huge
+      // one as thousands of near-empty sample partitions — both converge
+      // on defaultParallelism here, and the shuffle moves only the sample
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .cache()
     try {
       var cents = train.orderBy("__h").limit(nLists)
         .select("emb").collect().map(_.getSeq[Double](0).toArray)
       require(cents.nonEmpty, "IVF training needs a non-empty corpus")
       for (_ <- 1 to iters) {
-        // assignment via a BROADCAST centroid table + lexicographic
-        // struct-min argmin (deterministic ties), NOT centroid-literal
-        // expressions: literals change every iteration, and Spark would
-        // recompile the K×dim-constant codegen from scratch each time
-        // (measured ~5 s/iteration of pure janino for 8×64) — the join
-        // plan is literal-free, so its codegen is compiled once and reused
-        // across iterations. Map-side partial aggregation collapses the
-        // K-fold row multiplication before any shuffle.
-        val centsDf = cents.zipWithIndex.toSeq.map { case (c, l) => (l, c.toSeq) }.toDF("l", "cvec")
-        val dl = struct(
-          aggregate(zip_with(col("emb"), col("cvec"), (x, y) => (x - y) * (x - y)),
-            lit(0.0), (acc, v) => acc + v).as("d"),
-          col("l").as("l"))
+        // assignment via a CLOSURE UDF over this iteration's centroid
+        // array — row-local argmin, deterministic ties (strict-less scan
+        // in list order ≡ the previous lexicographic struct-min), and the
+        // same IEEE accumulation order as the previous zip_with/aggregate
+        // expression (ascending dimension, acc + (x−y)²), so the trained
+        // model is bit-identical. Why not centroid-literal expressions:
+        // literals change every iteration and Spark would recompile the
+        // K×dim-constant codegen from scratch each time (measured
+        // ~5 s/iteration of pure janino for 8×64). Why no longer the
+        // broadcast-join + struct-min shape (r07): the K-fold crossJoin
+        // row multiplication and its groupBy(__h) argmin cost a second
+        // exchange per iteration that a row-local assignment simply
+        // doesn't have — the UDF closure serializes K×dim doubles into
+        // the task binary (model-sized) and no plan is recompiled. This
+        // is the TRAINING path (sample-sized by contract), not the
+        // corpus-scale apply path, so a UDF is the right tool here.
+        val centsLocal = cents.map(_.clone())
+        val assign = udf((emb: Seq[Double]) => {
+          var best = 0; var bestD = Double.MaxValue
+          var l = 0
+          while (l < centsLocal.length) {
+            val c = centsLocal(l)
+            var d = 0.0; var i = 0
+            while (i < c.length) { val t = emb(i) - c(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = l }
+            l += 1
+          }
+          best
+        })
         // per-(list, dim) mean via posexplode: nLists × dim rows to the
-        // driver — model-sized, never data-sized
-        val stats = train.crossJoin(broadcast(centsDf))
-          .select(col("__h"), col("emb"), dl.as("dl"))
-          .groupBy("__h").agg(min("dl").as("m"), first("emb").as("emb"))
-          .select(col("m.l").as("l"), posexplode(col("emb")).as(Seq("pos", "v")))
+        // driver — model-sized, never data-sized. The assignment crosses a
+        // projection boundary BEFORE the explode — inline it would be
+        // evaluated per exploded (row × dim) element, dim× the calls
+        // (measured 3 s/iteration vs sub-second at sf0.1)
+        val stats = train
+          .select(assign(col("emb")).as("l"), col("emb"))
+          .select(col("l"), posexplode(col("emb")).as(Seq("pos", "v")))
           .groupBy("l", "pos").agg(
             aggregate(sort_array(collect_list(col("v"))), lit(0.0), (acc, x) => acc + x).as("s"),
             count(lit(1)).as("c"))
