@@ -49,8 +49,22 @@ object Ann {
     * h_{t,i})) where h_{t,i}[d] derives from xxhash64(t·10007+i, d) scaled
     * to [-1, 1) — a deterministic hyperplane family with no stored model,
     * reproducible on any cluster.
+    *
+    * Production form: the native kernel ([[graft.expr.Kernels.hyperplaneSig]])
+    * with the (bits × dim) hyperplane matrix precomputed once per JVM — the
+    * expression form below re-derived every weight (two xxhash64 mixes, a
+    * pmod, two casts) per (row × bit × dimension) even though weights
+    * depend only on (t, i, d). Bit-identical (same mixers, same
+    * accumulation order, same null/empty collapse; NativeSigSpec pins it).
     */
-  def hyperplaneSignature(vec: Column, t: Int, bits: Int): Column = {
+  def hyperplaneSignature(vec: Column, t: Int, bits: Int): Column =
+    graft.expr.Native.hyperplaneSig(vec, t, bits)
+
+  /** The pre-r07 expression form of [[hyperplaneSignature]] — kept ONLY as
+    * the parity reference for NativeSigSpec / ExprBench; never in a query
+    * path.
+    */
+  private[graft] def hyperplaneSignatureExpr(vec: Column, t: Int, bits: Int): Column = {
     val dims = sequence(lit(0), size(vec) - 1)
     (0 until bits).map { i =>
       val proj = aggregate(

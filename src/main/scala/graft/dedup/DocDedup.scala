@@ -225,20 +225,24 @@ object DocDedup {
     // the signature map (shingle → hash once → numHashes permutations) is
     // the expensive per-row kernel — spread it across the cluster when the
     // input scan has fewer splits than cores (no-op at real scale).
-    // Each select is a REQUIRED materialization boundary (see
-    // minhashSignature scaladoc — lambda bodies defeat CSE).
+    // The kernel is the FUSED native expression (Kernels.minhashSig):
+    // bit-identical to minhashSignature(shingleHashes(shingles(text))) —
+    // same UTF8String tokenization, same XXH64 mixers — but one row-local
+    // pass with the permutation loop innermost (one hashLong per shingle
+    // instead of numHashes of them) and zero intermediate array
+    // allocations; the 3-stage expression chain paid numHashes transform
+    // materializations + array_min scans per row (NativeSigSpec pins the
+    // parity; the chain form stays for the spec and ExprBench A/B).
     // The (id, sig) table is MATERIALIZED once (localCheckpoint): it has
     // TWO consumers — the band/bucket explode and the pair attach — and
-    // Spark re-executes a lazily-shared plan per consumer (the lambda-heavy
-    // kernel defeats exchange-reuse canonicalization), so without the
-    // materialization the whole shingle→hash→numHashes-permutation kernel
-    // ran TWICE per corpus. Signatures are numHashes longs/doc (~512 B at
-    // the default 64) — orders of magnitude slimmer than the text they
-    // summarize, the guide's "decide with small rows" shape.
+    // Spark re-executes a lazily-shared plan per consumer, so without the
+    // materialization the whole signature kernel ran TWICE per corpus.
+    // Signatures are numHashes longs/doc (~512 B at the default 64) —
+    // orders of magnitude slimmer than the text they summarize, the
+    // guide's "decide with small rows" shape.
     val sigTable = graft.util.Par.spread(docs)
-      .select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
-      .select(col("id"), shingleHashes(col("sh")).as("shh"))
-      .select(col("id"), minhashSignature(col("shh"), numHashes).as("sig"))
+      .select(col(idCol).as("id"),
+        graft.expr.Native.minhashSig(col(textCol), 3, numHashes).as("sig"))
       .localCheckpoint()
     // SLIM bucket stream: the fat numHashes-long signature never rides the
     // band explode (16 copies/doc), the window, the observer barrier, or any

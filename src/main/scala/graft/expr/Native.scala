@@ -1,11 +1,12 @@
 package graft.expr
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the per-row kernels that previously ran
@@ -59,6 +60,138 @@ object Kernels {
     else UTF8String.fromString(
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
   }
+
+  private val WsPattern = UTF8String.fromString("\\s+")
+
+  /** Fused MinHash signature straight from document text — ONE row-local
+    * pass replacing the 3-stage expression chain
+    * `minhashSignature(shingleHashes(shingles(text, k)), numHashes)`
+    * (`DocDedup.scala`), bit-identically:
+    *
+    *  - tokenize exactly like `filter(split(lower(trim(text)), "\\s+"),
+    *    t =!= "")`: the SAME `UTF8String.trim/toLowerCase/split` methods
+    *    the Catalyst expressions call, so every locale/whitespace corner
+    *    reproduces by construction;
+    *  - shingle strings are the byte-identical `array_join(slice(toks,
+    *    i+1, k), " ")` values (`UTF8String.concatWs`), hashed with the
+    *    byte-identical `xxhash64(shingle)` (`XXH64.hashUTF8String`, seed
+    *    42 — Spark's own mixer, not a reimplementation);
+    *  - signature entry j = min over shingles of `xxhash64(h, lit(j))` =
+    *    `hashInt(j, hashLong(h, 42))` — but with the loop order swapped:
+    *    the expression chain paid `hashLong + hashInt` per (shingle ×
+    *    permutation) PLUS one `transform` ArrayData allocation + one
+    *    `array_min` scan per permutation; here each shingle's base
+    *    `hashLong` is computed once and only the cheap `hashInt` mix runs
+    *    per permutation, with zero intermediate allocation. ~64× fewer
+    *    `hashLong`s and no 64 per-row array materializations — the whole
+    *    win, with the arithmetic unchanged.
+    *
+    * `array_distinct` from the original chain is dropped: duplicate
+    * shingles cannot change a min. A null text reproduces the legacy
+    * chain's null path (one null shingle, whose `xxhash64` is the
+    * untouched seed 42).
+    */
+  def minhashSig(text: UTF8String, k: Int, numHashes: Int): ArrayData = {
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    if (text == null) {
+      // trim/lower/split/array_join all null-propagate, array(·) wraps the
+      // null join into [null], and xxhash64(null) leaves the seed: 42
+      minhashMix(42L, sig)
+    } else {
+      val parts = text.trim().toLowerCase().split(WsPattern, -1)
+      // filter(t =!= "") — drop empty tokens in place
+      var n = 0
+      var p = 0
+      while (p < parts.length) {
+        if (parts(p).numBytes() > 0) { parts(n) = parts(p); n += 1 }
+        p += 1
+      }
+      if (n >= k) {
+        val shingle = new Array[UTF8String](k)
+        var i = 0
+        while (i <= n - k) {
+          var j = 0
+          while (j < k) { shingle(j) = parts(i + j); j += 1 }
+          minhashMix(XXH64.hashUTF8String(UTF8String.concatWs(SpaceSep, shingle: _*), 42L), sig)
+          i += 1
+        }
+      } else {
+        val all = new Array[UTF8String](n)
+        System.arraycopy(parts, 0, all, 0, n)
+        minhashMix(XXH64.hashUTF8String(UTF8String.concatWs(SpaceSep, all: _*), 42L), sig)
+      }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(sig)
+  }
+
+  private val SpaceSep = UTF8String.fromString(" ")
+
+  private def minhashMix(h: Long, sig: Array[Long]): Unit = {
+    val base = XXH64.hashLong(h, 42L)
+    var j = 0
+    while (j < sig.length) {
+      val v = XXH64.hashInt(j, base)
+      if (v < sig(j)) sig(j) = v
+      j += 1
+    }
+  }
+
+  /** Random-hyperplane LSH signature with the hyperplane matrix
+    * PRECOMPUTED — replaces `Ann.hyperplaneSignatureExpr`'s per-row
+    * re-derivation bit-identically. The expression form recomputed
+    * `xxhash64(lit(t·10007+i), d)` (two `hashInt` mixes), a `pmod` and two
+    * casts for EVERY (row × bit × dimension) even though the value depends
+    * only on (t, i, d); here the weight matrix is derived once per (t,
+    * bits, dim) per JVM — from the same `XXH64.hashInt` mixers and the
+    * same floorMod/scale arithmetic — and each row pays a pure dot
+    * product. Accumulation order (ascending dimension, `0.0 + x_d·w_d`)
+    * and the `proj >= 0` bit rule are unchanged, so signatures are
+    * bit-identical.
+    *
+    * Null/empty parity with the expression form: null vector or any null
+    * element → every bit's `when(proj >= 0, …).otherwise(0)` took the
+    * otherwise branch → 0L; an EMPTY vector also collapses to 0L (its
+    * `sequence(0, size-1)` is the DESCENDING [0, -1], whose zip_with
+    * null-pads the empty side → null proj → otherwise branch).
+    */
+  def hyperplaneSig(vec: ArrayData, t: Int, bits: Int, doubleElems: Boolean): Long = {
+    if (vec == null) return 0L
+    val n = vec.numElements()
+    if (n == 0) return 0L
+    var d = 0
+    while (d < n) { if (vec.isNullAt(d)) return 0L; d += 1 }
+    val w = hyperplaneWeights(t, bits, n)
+    var sig = 0L
+    var i = 0
+    while (i < bits) {
+      val wi = w(i)
+      var proj = 0.0
+      var j = 0
+      if (doubleElems) while (j < n) { proj += vec.getDouble(j) * wi(j); j += 1 }
+      else while (j < n) { proj += vec.getFloat(j).toDouble * wi(j); j += 1 }
+      if (proj >= 0) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+
+  // weight matrices are tiny ((bits × dim) doubles), deterministic, and
+  // keyed by (t, bits, dim) — computed once per JVM and shared by every
+  // task thread thereafter
+  private val hyperplaneCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Double]]]()
+
+  private def hyperplaneWeights(t: Int, bits: Int, dim: Int): Array[Array[Double]] =
+    hyperplaneCache.computeIfAbsent((t, bits, dim), { key =>
+      val (tt, bb, nn) = key
+      Array.tabulate(bb) { i =>
+        val seed = XXH64.hashInt(tt * 10007 + i, 42L)
+        Array.tabulate(nn) { d =>
+          (java.lang.Math.floorMod(XXH64.hashInt(d, seed), 2000001L) - 1000000L).toDouble / 1000000.0
+        }
+      }
+    })
 
   /** SimHash over a token array, consuming `ArrayData` directly: per token
     * one UTF-8 byte-array view → md5 → 64 ± votes. Null tokens are skipped
@@ -170,6 +303,64 @@ case class WinnowFingerprint(child: Expression, k: Int, window: Int, hashKind: S
     copy(child = newChild)
 }
 
+/** Fused text→MinHash-signature kernel ([[Kernels.minhashSig]]): k and
+  * numHashes are plan-time constants. NEVER null — a null text reproduces
+  * the legacy expression chain's null-path signature (the kernel handles
+  * it), so the expression evaluates its child itself instead of the
+  * default null-propagation.
+  */
+case class MinHashSigFromText(child: Expression, k: Int, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_minhash_sig"
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    Kernels.minhashSig(child.eval(input).asInstanceOf[UTF8String], k, numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        final org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          graft.expr.Kernels.minhashSig(
+            ${c.isNull} ? null : ${c.value}, $k, $numHashes);""",
+      isNull = FalseLiteral)
+  }
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigFromText =
+    copy(child = newChild)
+}
+
+/** Random-hyperplane LSH signature with a per-JVM precomputed hyperplane
+  * matrix ([[Kernels.hyperplaneSig]]). NEVER null: the expression form it
+  * replaces collapses a null vector (or null element) to signature 0L via
+  * each bit's `otherwise(0)` branch, and the kernel reproduces that.
+  */
+case class HyperplaneSig(child: Expression, t: Int, bits: Int) extends UnaryExpression {
+  // lazy: the child is unresolved at construction (dataType would throw);
+  // both eval and doGenCode run post-analysis
+  private lazy val doubleElems = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_hyperplane_sig"
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    Kernels.hyperplaneSig(
+      child.eval(input).asInstanceOf[ArrayData], t, bits, doubleElems)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        final long ${ev.value} = graft.expr.Kernels.hyperplaneSig(
+          ${c.isNull} ? null : ${c.value}, $t, $bits, $doubleElems);""",
+      isNull = FalseLiteral)
+  }
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
+    copy(child = newChild)
+}
+
 /** Column-level constructors. */
 object Native {
   def canonicalize(url: Column): Column =
@@ -184,4 +375,8 @@ object Native {
     ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
   def winnowFingerprint(text: Column, k: Int, window: Int, hashKind: String): Column =
     ColumnBridge.column(WinnowFingerprint(ColumnBridge.expression(text), k, window, hashKind))
+  def minhashSig(text: Column, k: Int, numHashes: Int): Column =
+    ColumnBridge.column(MinHashSigFromText(ColumnBridge.expression(text), k, numHashes))
+  def hyperplaneSig(vec: Column, t: Int, bits: Int): Column =
+    ColumnBridge.column(HyperplaneSig(ColumnBridge.expression(vec), t, bits))
 }
