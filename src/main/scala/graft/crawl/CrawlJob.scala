@@ -212,13 +212,15 @@ object CrawlJob {
       // 3. per-host politeness schedule
       val sched = Scheduler.scheduleRound(allowedF, hostStates.toDF(), cfg, roundSec)
         .cache()
-
-      // materialize the schedule cache NOW, before anything else consumes
-      // it: concurrent downstream actions on a cold cache would each
-      // recompute the whole dedup→robots→schedule chain (AQE compiles a
-      // fresh physical plan per action; only materialized cache blocks are
-      // shared). sched rows are slim — a few hundred bytes each.
-      sched.count()
+      // sched (and every cached frame upstream of it) is materialized by
+      // the single `extracted.count()` action below, BEFORE the concurrent
+      // write phase — cache blocks fill as the extraction pass scans them,
+      // so the concurrent downstream actions (which would each recompute
+      // the whole dedup→robots→schedule chain on a cold cache — AQE
+      // compiles a fresh physical plan per action; only materialized cache
+      // blocks are shared) all hit warm caches. One action per round for
+      // the whole chain, not two (r07: a separate sched.count() here paid
+      // an extra pass over the schedule plan every round).
 
       // 4. "fetch": equi-join against the page table on url — the offline,
       //    deterministic stand-in for the downloader (SURVEY.md §2#19).
