@@ -17,13 +17,26 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Dot product of two float vectors (double accumulation). */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product of two float vectors (double accumulation) — the native
+    * kernel ([[graft.expr.Kernels.dotDouble]]), bit-identical to the
+    * `aggregate(zip_with(a, b, x·y), 0.0, +)` expression form it replaced
+    * (same ascending fold, same casts, same null-pad collapse) without
+    * materializing a zipped array per call (NativeSigSpec pins parity).
+    */
+  def dot(a: Column, b: Column): Column = graft.expr.Native.dot(a, b)
+
+  /** The pre-r07 expression form of [[dot]] — the NativeSigSpec parity
+    * reference only.
+    */
+  private[graft] def dotExpr(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  def l2Norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+  /** sqrt of the self-dot — the identical ascending Σx² fold the previous
+    * `aggregate(a, 0.0, acc + x²)` form computed, so norms are
+    * bit-identical.
+    */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
@@ -103,30 +116,45 @@ object Ann {
 
   // ------------------------------------------------------------------ IVF
 
-  /** Squared L2 distance between a vector column and a centroid literal. */
-  private def distSq(emb: Column, c: Array[Double]): Column =
+  /** Distances to every centroid as one array column — the native kernel
+    * ([[graft.expr.Kernels.ivfDists]]), bit-identical to the previous
+    * per-centroid aggregate-over-zip_with array (same ascending (x−c)²
+    * fold per centroid; NativeSigSpec pins parity). The expression form
+    * codegen'd K aggregate trees around K×dim literals — a janino source
+    * the size of the model, recompiled per query; the kernel references
+    * the model object instead. Callers materialize the array through a
+    * withColumn boundary before [[argminList]] so it evaluates once, not
+    * once per consumer.
+    */
+  private def distsExpr(emb: Column, cents: Array[Array[Double]]): Column =
+    graft.expr.Native.ivfDists(emb, cents)
+
+  /** The pre-r07 expression forms — the NativeSigSpec parity reference
+    * only.
+    */
+  private[graft] def distSqExpr(emb: Column, c: Array[Double]): Column =
     aggregate(
       zip_with(emb, typedLit(c), (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
       lit(0.0), (acc, v) => acc + v)
 
-  /** Distances to every centroid as one array column. Callers materialize
-    * it through a withColumn boundary before [[argminList]] so the K
-    * aggregates evaluate once, not once per consumer.
-    */
-  private def distsExpr(emb: Column, cents: Array[Array[Double]]): Column =
-    array(cents.toIndexedSeq.map(c => distSq(emb, c)): _*)
+  private[graft] def distsExprLegacy(emb: Column, cents: Array[Array[Double]]): Column =
+    array(cents.toIndexedSeq.map(c => distSqExpr(emb, c)): _*)
 
   /** Index of the minimum distance (first wins on ties — deterministic). */
   private def argminList(dists: Column): Column =
     (array_position(dists, array_min(dists)) - 1).cast("int")
 
-  /** The `nProbe` nearest list ids, nearest first (struct sort on
-    * (distance, list) — deterministic ties).
+  /** The `nProbe` nearest list ids, nearest first, derived from a
+    * MATERIALIZED distance-array column (struct sort on (distance, list) —
+    * deterministic ties, exactly the previous
+    * `array_sort(array(struct(distSq(emb, c_i), i)))` values; the structs
+    * are just built from the array instead of re-aggregating per centroid).
     */
-  private def probeListsExpr(emb: Column, cents: Array[Array[Double]], nProbe: Int): Column =
+  private def probeListsFromDists(dists: Column, nLists: Int, nProbe: Int): Column =
     transform(
-      slice(array_sort(array(cents.indices.map(i =>
-        struct(distSq(emb, cents(i)).as("d"), lit(i).as("l"))): _*)), 1, nProbe),
+      slice(array_sort(transform(
+        sequence(lit(0), lit(nLists - 1)),
+        i => struct(element_at(dists, i + 1).as("d"), i.as("l")))), 1, nProbe),
       s => s.getField("l"))
 
   /** Train IVF coarse centroids: Lloyd's k-means on a deterministic sample
@@ -304,7 +332,9 @@ object Ann {
       .withColumn("list_id", argminList(col("__dl")))
       .drop("__dl")
     val queriesL = queries
-      .withColumn("list_id", explode(probeListsExpr(col("q_embedding"), cents, nProbe)))
+      .withColumn("__qd", distsExpr(col("q_embedding"), cents))
+      .withColumn("list_id", explode(probeListsFromDists(col("__qd"), cents.length, nProbe)))
+      .drop("__qd")
     val candidates = corpusL.join(broadcast(queriesL), Seq("list_id"))
       .dropDuplicates("query_id", "vec_id")
       .withColumn("cosine", round(cosine(col("q_embedding"), col("embedding")), 6))

@@ -193,6 +193,60 @@ object Kernels {
       }
     })
 
+  /** Dot product with double accumulation — replaces the
+    * `aggregate(zip_with(a, b, x·y), 0.0, +)` expression tree
+    * bit-identically (ascending-index fold from 0.0, each element cast to
+    * double first) without materializing the zipped intermediate array
+    * per call. Null parity with the expression form: `zip_with` pads
+    * unequal lengths with nulls and a null term poisons the fold, so
+    * unequal lengths or any null element → null (boxed).
+    */
+  def dotDouble(a: ArrayData, b: ArrayData, aDouble: Boolean, bDouble: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aDouble) a.getDouble(i) else a.getFloat(i).toDouble
+      val y = if (bDouble) b.getDouble(i) else b.getFloat(i).toDouble
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+
+  /** Squared-L2 distances to K centroid constants in one row-local pass —
+    * replaces `Ann.distsExpr`'s K aggregate-over-zip_with trees (each
+    * codegen'd around a K×dim literal array) bit-identically: per
+    * centroid, ascending-dimension fold of `(x−c)·(x−c)` from 0.0. A null
+    * element (or a vector shorter than a centroid — zip_with's null pad)
+    * made every distance null, which collapsed downstream argmin/probe
+    * lists to null; the kernel returns null for the whole array then
+    * (same downstream result, embeddings are non-null by construction).
+    */
+  def ivfDists(vec: ArrayData, cents: Array[Array[Double]], doubleElems: Boolean): ArrayData = {
+    val n = vec.numElements()
+    val out = new Array[Double](cents.length)
+    var k = 0
+    while (k < cents.length) {
+      val c = cents(k)
+      if (c.length != n) return null
+      var acc = 0.0
+      var d = 0
+      while (d < n) {
+        if (vec.isNullAt(d)) return null
+        val x = if (doubleElems) vec.getDouble(d) else vec.getFloat(d).toDouble
+        val t = x - c(d)
+        acc += t * t
+        d += 1
+      }
+      out(k) = acc
+      k += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** SimHash over a token array, consuming `ArrayData` directly: per token
     * one UTF-8 byte-array view → md5 → 64 ± votes. Null tokens are skipped
     * (the UDF's Seq conversion surfaced them as nulls too — token arrays
@@ -361,6 +415,77 @@ case class HyperplaneSig(child: Expression, t: Int, bits: Int) extends UnaryExpr
     copy(child = newChild)
 }
 
+/** Dot product with double accumulation ([[Kernels.dotDouble]]); element
+  * types (float/double) are resolved per side post-analysis. Nullable: the
+  * kernel returns null for unequal lengths / null elements (the zip_with
+  * null-pad semantics it replaces).
+  */
+case class DotDouble(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  private lazy val leftDouble = left.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  private lazy val rightDouble = right.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.dotDouble(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], leftDouble, rightDouble)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("dot")
+      s"""java.lang.Double $tmp = graft.expr.Kernels.dotDouble($a, $b, $leftDouble, $rightDouble);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.doubleValue(); }
+         |""".stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotDouble =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Squared-L2 distances to K centroid constants ([[Kernels.ivfDists]]).
+  * The centroid matrix is a plan-time constant carried on the expression
+  * (model-sized — nLists × dim doubles) and referenced, not inlined, by
+  * the generated code: the expression form it replaces codegen'd K
+  * aggregate trees around K×dim literals, a source-size cost paid at
+  * every compile.
+  */
+case class IvfDists(child: Expression, cents: Array[Array[Double]]) extends UnaryExpression {
+  private lazy val doubleElems = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_ivf_dists"
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.ivfDists(input.asInstanceOf[ArrayData], cents, doubleElems)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("graftIvfCents", cents, "double[][]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("dists")
+      s"""org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+         |  graft.expr.Kernels.ivfDists($c, $centsRef, $doubleElems);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+         |""".stripMargin
+    })
+  }
+  // the centroid matrix participates in semantic equality: two IvfDists
+  // over different trained models must never canonicalize together
+  override def equals(o: Any): Boolean = o match {
+    case IvfDists(c, cs) =>
+      c == child && cs.length == cents.length &&
+        cs.indices.forall(i => java.util.Arrays.equals(cs(i), cents(i)))
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + cents.map(java.util.Arrays.hashCode).toSeq.hashCode()
+  override protected def withNewChildInternal(newChild: Expression): IvfDists =
+    copy(child = newChild)
+}
+
 /** Column-level constructors. */
 object Native {
   def canonicalize(url: Column): Column =
@@ -379,4 +504,8 @@ object Native {
     ColumnBridge.column(MinHashSigFromText(ColumnBridge.expression(text), k, numHashes))
   def hyperplaneSig(vec: Column, t: Int, bits: Int): Column =
     ColumnBridge.column(HyperplaneSig(ColumnBridge.expression(vec), t, bits))
+  def dot(a: Column, b: Column): Column =
+    ColumnBridge.column(DotDouble(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def ivfDists(vec: Column, cents: Array[Array[Double]]): Column =
+    ColumnBridge.column(IvfDists(ColumnBridge.expression(vec), cents))
 }

@@ -80,6 +80,36 @@ class NativeSigSpec extends SparkSpec {
     assert(both.filter(!(col("native") <=> col("expr"))).count() === 0L)
   }
 
+  test("native dot ≡ aggregate/zip_with expression form (incl. unequal lengths, nulls)") {
+    val vecs = (0 until 100).map { i =>
+      ((0 until 12).map(d => ((i * 7 + d) % 31 - 15) / 4.0f),
+        (0 until 12).map(d => ((i * 11 + d * 3) % 29 - 14) / 5.0f))
+    }.toDF("a", "b")
+      .unionByName(Seq((Seq(1.0f, 2.0f), Seq(3.0f))).toDF("a", "b")) // unequal lengths
+      .unionByName(Seq((Seq(1.0f), null.asInstanceOf[Seq[Float]])).toDF("a", "b"))
+    val both = vecs.select(
+      Ann.dot(col("a"), col("b")).as("native"),
+      Ann.dotExpr(col("a"), col("b")).as("expr"))
+    assert(both.filter(!(col("native") <=> col("expr"))).count() === 0L)
+    // l2Norm == sqrt(self-dot) == the old aggregate form
+    val norms = vecs.filter(col("a").isNotNull).select(
+      Ann.l2Norm(col("a")).as("native"),
+      sqrt(aggregate(col("a"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))).as("expr"))
+    assert(norms.filter(!(col("native") <=> col("expr"))).count() === 0L)
+  }
+
+  test("native ivf distance array ≡ per-centroid aggregate expression form") {
+    val cents = Array.tabulate(8)(k => Array.tabulate(16)(d => ((k * 5 + d * 3) % 17 - 8) / 3.0))
+    val vecs = (0 until 100).map { i =>
+      (i.toLong, (0 until 16).map(d => ((i * 31 + d * 7) % 97 - 48) / 13.0f))
+    }.toDF("vec_id", "embedding")
+    val both = vecs.select(
+      graft.expr.Native.ivfDists(col("embedding"), cents).as("native"),
+      Ann.distsExprLegacy(col("embedding"), cents).as("expr"))
+    assert(both.filter(!(col("native") <=> col("expr"))).count() === 0L)
+  }
+
   test("minhashPairs still surfaces planted exact duplicates at agreement 1.0") {
     val docs = graft.synth.BenchWorkload.docs(spark, 200, 0)
       .select(col("doc_id"), col("text"))
