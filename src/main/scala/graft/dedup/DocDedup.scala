@@ -237,13 +237,20 @@ object DocDedup {
     // TWO consumers — the band/bucket explode and the pair attach — and
     // Spark re-executes a lazily-shared plan per consumer, so without the
     // materialization the whole signature kernel ran TWICE per corpus.
-    // Signatures are numHashes longs/doc (~512 B at the default 64) —
-    // orders of magnitude slimmer than the text they summarize, the
+    // LAZY (r07): the checkpoint is RDD-level either way (one compute,
+    // blocks reused by the attach), but eager cost a dedicated blocking
+    // job; lazy folds the kernel into the capped-stream checkpoint job
+    // that first consumes it — one action per corpus, same single
+    // execution. (The capped checkpoint itself stays EAGER: the
+    // dropped-coverage Observation rides its QueryExecution, and a lazy
+    // materialization inside a foreign job would never surface the
+    // metric.) Signatures are numHashes longs/doc (~512 B at the default
+    // 64) — orders of magnitude slimmer than the text they summarize, the
     // guide's "decide with small rows" shape.
     val sigTable = graft.util.Par.spread(docs)
       .select(col(idCol).as("id"),
         graft.expr.Native.minhashSig(col(textCol), 3, numHashes).as("sig"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // SLIM bucket stream: the fat numHashes-long signature never rides the
     // band explode (16 copies/doc), the window, the observer barrier, or any
     // shuffle — candidate generation moves only (id, band, bucket) rows.
@@ -341,7 +348,7 @@ object DocDedup {
       logDropped: Boolean = true): DataFrame = {
     val base = graft.util.Par.spread(docs)
       .select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // see minhashPairs: kernel folds into the capped job
     val bucketed = base.select(col("id"), explode(array((0 until 4).map { c =>
       struct(lit(c).as("c"), shiftrightunsigned(col("sig"), c * 16).bitwiseAND(lit(0xffffL)).as("v"))
     }: _*)).as("chunk"))
@@ -389,7 +396,7 @@ object DocDedup {
     val base = graft.util.Par.spread(docs).select(
       col(idCol).as("id"),
       graft.functions.TextFns.fingerprint(col(textCol), k, window, hashKind).as("fp"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // see minhashPairs: kernel folds into the capped job
     val buckets = base.select(col("id"), explode(col("fp")).as("h"))
     val pairs = cappedBucketPairs(buckets, Seq("h"), maxBucket, logDropped, "fingerprintPairs")
     attachPairSides(pairs, base, "fp")

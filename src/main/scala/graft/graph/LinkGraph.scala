@@ -278,6 +278,12 @@ object LinkGraph {
       val out = ckpt(df.observe(obs, metric.as("m")), name)
       (out, obs.get("m").asInstanceOf[Long])
     }
+    def ckptObserve2(
+        df: DataFrame, name: String, m1: Column, m2: Column): (DataFrame, Long, Long) = {
+      val obs = org.apache.spark.sql.Observation(s"graft.pr.$name.${System.nanoTime()}")
+      val out = ckpt(df.observe(obs, m1.as("m1"), m2.as("m2")), name)
+      (out, obs.get("m1").asInstanceOf[Long], obs.get("m2").asInstanceOf[Long])
+    }
 
     val e = ckpt(
       edges.select(col("src").cast("string"), col("dst").cast("string"))
@@ -292,20 +298,24 @@ object LinkGraph {
     //  - the per-source share is `rank div deg` computed row-locally on
     //    the ranks frame (deg rides it) instead of a per-iteration
     //    ranks ⋈ outDeg join.
-    // Node count (one scalar) rides the nodes checkpoint the same way.
-    val (nodes, n) = ckptObserve(
+    // Node count AND dangling-node count (two scalars) ride the nodes
+    // checkpoint: iteration 0's ranks are the CONSTANT scale div n, so its
+    // dangling mass is exactly initRank × (dangling nodes) — which removes
+    // the iter-0 checkpoint entirely (r07): the initial ranks frame is a
+    // trivial projection of the checkpointed nodes with ONE consumer
+    // (iteration 1's share scan) and stays lazy.
+    val (nodes, n, nDangling) = ckptObserve2(
       e.select(col("src").as("host")).unionAll(e.select(col("dst").as("host"))).distinct()
         .join(e.groupBy(col("src").as("host")).agg(count(lit(1)).as("deg")), Seq("host"), "left")
         .select(col("host"), col("deg")),
-      "nodes", count(lit(1)))
+      "nodes", count(lit(1)), coalesce(sum(when(col("deg").isNull, 1L)), lit(0L)))
     require(n > 0, "pageRankInt: empty graph")
     val initRank = scale / n
     val baseTerm = ((dampDen - dampNum) * initRank) / dampDen
     val danglingOf = coalesce(sum(when(col("deg").isNull, col("rank"))), lit(0L))
 
-    var (ranks, dangling) = ckptObserve(
-      nodes.select(col("host"), col("deg"), lit(initRank).as("rank")),
-      "iter-0", danglingOf)
+    var ranks = nodes.select(col("host"), col("deg"), lit(initRank).as("rank"))
+    var dangling = initRank * nDangling
     var i = 1
     while (i <= iters) {
       val dangShare = dangling / n
@@ -321,7 +331,8 @@ object LinkGraph {
           .as("rank"))
       val (r2, d2) = ckptObserve(next, s"iter-$i", danglingOf)
       ranks = r2; dangling = d2
-      graft.dedup.Clusters.deleteRecursively(hadoopConf, s"$scratch/iter-${i - 1}")
+      // iter-0 was never checkpointed (lazy projection of nodes)
+      if (i > 1) graft.dedup.Clusters.deleteRecursively(hadoopConf, s"$scratch/iter-${i - 1}")
       i += 1
     }
     ranks.select("host", "rank")
@@ -379,6 +390,12 @@ object LinkGraph {
       val out = ckpt(df.observe(obs, metric.as("m")), name)
       (out, obs.get("m").asInstanceOf[Long])
     }
+    def ckptObserve2(
+        df: DataFrame, name: String, m1: Column, m2: Column): (DataFrame, Long, Long) = {
+      val obs = org.apache.spark.sql.Observation(s"graft.tr.$name.${System.nanoTime()}")
+      val out = ckpt(df.observe(obs, m1.as("m1"), m2.as("m2")), name)
+      (out, obs.get("m1").asInstanceOf[Long], obs.get("m2").asInstanceOf[Long])
+    }
 
     val e = ckpt(
       edges.select(col("src").cast("string"), col("dst").cast("string"))
@@ -388,8 +405,13 @@ object LinkGraph {
     // deg rides the nodes frame (pageRankInt's move): dangling mass is a
     // conditional sum observed on the previous checkpoint write, the
     // per-source share is row-local (no per-iteration ranks ⋈ outDeg
-    // join), and the trusted-seed count rides the nodes checkpoint
-    val (nodes, nT) = ckptObserve(
+    // join). Trusted-seed count AND trusted-dangling count both ride the
+    // nodes checkpoint: iteration 0's rank is seedShare on trusted nodes
+    // and 0 elsewhere, so its dangling mass is exactly seedShare ×
+    // (trusted ∧ dangling nodes) — the iter-0 checkpoint is gone (r07,
+    // the pageRankInt move) and the initial ranks frame stays a lazy
+    // single-consumer projection of the checkpointed nodes.
+    val (nodes, nT, nDangT) = ckptObserve2(
       e.select(col("src").as("host")).unionAll(e.select(col("dst").as("host"))).distinct()
         .join(trusted.select(col("host")).distinct().withColumn("__t", lit(true)),
           Seq("host"), "left")
@@ -397,16 +419,17 @@ object LinkGraph {
         .select(col("host"),
           coalesce(col("__t"), lit(false)).as("trusted"),
           col("deg")),
-      "nodes", coalesce(sum(when(col("trusted"), 1L)), lit(0L)))
+      "nodes",
+      coalesce(sum(when(col("trusted"), 1L)), lit(0L)),
+      coalesce(sum(when(col("trusted") && col("deg").isNull, 1L)), lit(0L)))
     require(nT > 0, "trustRankInt: no trusted seed exists in the graph")
     val seedShare = scale / nT
     val baseTerm = (dampDen - dampNum) * seedShare // divided by dampDen inside the loop
     val danglingOf = coalesce(sum(when(col("deg").isNull, col("rank"))), lit(0L))
 
-    var (ranks, dangling) = ckptObserve(
-      nodes.select(col("host"), col("trusted"), col("deg"),
-        when(col("trusted"), lit(seedShare)).otherwise(lit(0L)).as("rank")),
-      "iter-0", danglingOf)
+    var ranks = nodes.select(col("host"), col("trusted"), col("deg"),
+      when(col("trusted"), lit(seedShare)).otherwise(lit(0L)).as("rank"))
+    var dangling = seedShare * nDangT
     var i = 1
     while (i <= iters) {
       val dangShare = dangling / nT
@@ -423,7 +446,8 @@ object LinkGraph {
           .as("rank"))
       val (r2, d2) = ckptObserve(next, s"iter-$i", danglingOf)
       ranks = r2; dangling = d2
-      graft.dedup.Clusters.deleteRecursively(hadoopConf, s"$scratch/iter-${i - 1}")
+      // iter-0 was never checkpointed (lazy projection of nodes)
+      if (i > 1) graft.dedup.Clusters.deleteRecursively(hadoopConf, s"$scratch/iter-${i - 1}")
       i += 1
     }
     ranks.select("host", "trusted", "rank")
