@@ -37,8 +37,14 @@ object Budget {
       idCol: String = "id",
       tokCol: String = "n_tokens",
       scoreCol: String = "score"): DataFrame = {
+    // materialize the input ONCE (r07, the perplexityBuckets move): it has
+    // two structural consumers (histogram + final join), and a caller's
+    // lambda-bearing score/token chain (e.g. q65's tokenCount) defeats
+    // exchange-reuse canonicalization, so a lazily-shared input executed
+    // per consumer. Slim rows (id, tokens, score) by contract.
+    val d0 = docs.localCheckpoint(eager = false)
     // per-score histogram → tokens owned by strictly BETTER scores
-    val hist = docs.groupBy(col(scoreCol))
+    val hist = d0.groupBy(col(scoreCol))
       .agg(sum(col(tokCol)).cast("long").as("__grp"))
     val better = Window.orderBy(col(scoreCol).desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -48,7 +54,7 @@ object Budget {
     // id-ordered cumsum WITHIN the tie group only
     val withinGrp = Window.partitionBy(col(scoreCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
+    d0
       .join(broadcast(offsets), Seq(scoreCol))
       .withColumn("start_tok",
         col("__before")

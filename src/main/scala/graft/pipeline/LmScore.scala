@@ -138,14 +138,29 @@ object LmScore {
       groupCol: String = "lang",
       scoreCol: String = "xent"): DataFrame = {
     require(nBuckets > 0, "nBuckets must be positive")
-    val hist = scored.groupBy(groupCol, scoreCol).agg(count(lit(1)).as("__c"))
+    // materialize the scored frame ONCE (r07): it has two structural
+    // consumers (the histogram and the final per-doc join), and the
+    // lambda-heavy tokenizer subtrees upstream defeat exchange-reuse
+    // canonicalization, so a lazily-shared scoring chain executed per
+    // consumer (measured 3× on q59 with the old separate totals
+    // aggregate). Lazy checkpoint: the first consuming job computes the
+    // RDD, every other consumer reads the blocks. Rows are slim by
+    // construction — (id, group, rounded score) — the signature-table
+    // storage contract.
+    val s0 = scored.localCheckpoint(eager = false)
+    val hist = s0.groupBy(groupCol, scoreCol).agg(count(lit(1)).as("__c"))
     val w = Window.partitionBy(groupCol).orderBy(scoreCol)
       .rowsBetween(Window.unboundedPreceding, -1)
     val pre = hist
       .withColumn("__r", coalesce(sum(col("__c")).over(w), lit(0L)))
       .drop("__c")
-    val totals = scored.groupBy(groupCol).agg(count(lit(1)).as("__n"))
-    scored
+    // group totals fold the HISTOGRAM, not the corpus: Σ__c per group ≡
+    // count per group, over ≤ distinct-(group, score) rows — and the
+    // duplicated hist subtree is now canonicalizable (it reads the
+    // checkpointed RDD, no lambdas), so its exchange is reused between
+    // this and the window branch instead of re-aggregating
+    val totals = hist.groupBy(groupCol).agg(sum(col("__c")).as("__n"))
+    s0
       .join(pre, Seq(groupCol, scoreCol))
       .join(totals, Seq(groupCol))
       .withColumn("bucket", expr(s"($nBuckets * __r) DIV __n"))
