@@ -299,19 +299,42 @@ object CrawlJob {
       // slim) stage frame with its name, union, pivot on the fixed stage
       // list — one shuffle of (host, stage) rows instead of 8 groupBys +
       // 7 full_outer joins (whose per-job fixed costs dominated small
-      // rounds and whose 8 exchanges were pure waste at scale)
+      // rounds and whose 8 exchanges were pure waste at scale).
+      // Two scan collapses (r07):
+      //  - a pass-through gate (first round's dedup, no allowed_domains,
+      //    empty robots) returns its INPUT FRAME unchanged; consecutive
+      //    stages sharing one frame (reference identity) emit all their
+      //    labels from ONE scan instead of re-scanning the same cached
+      //    blocks per label;
+      //  - the three fetch outcomes are mutually exclusive and exhaustive
+      //    (!hit / hit∧is_err / hit∧¬is_err), so one labeled scan of
+      //    `extracted` replaces three filtered ones.
       val stages = Seq("entered", "postDedup", "postOffsite", "postRobots",
         "scheduled", "fetchMissed", "errorDropped", "extractedOk")
       def tag(df: DataFrame, stage: String): DataFrame =
         df.select(col("host"), lit(stage).as("__stage"))
-      val metricsDelta = tag(frontier, "entered")
-        .unionAll(tag(fresh, "postDedup"))
-        .unionAll(tag(onsiteF, "postOffsite"))
-        .unionAll(tag(allowedF, "postRobots"))
+      val gateTagged = {
+        val chain = Seq("entered" -> frontier, "postDedup" -> fresh,
+          "postOffsite" -> onsiteF, "postRobots" -> allowedF)
+        val groups = scala.collection.mutable.ArrayBuffer
+          .empty[(DataFrame, scala.collection.mutable.ArrayBuffer[String])]
+        chain.foreach { case (nm, df) =>
+          if (groups.nonEmpty && (groups.last._1 eq df)) groups.last._2 += nm
+          else groups += ((df, scala.collection.mutable.ArrayBuffer(nm)))
+        }
+        groups.map { case (df, names) =>
+          if (names.length == 1) tag(df, names.head)
+          else df.select(col("host"),
+            explode(array(names.toSeq.map(lit): _*)).as("__stage"))
+        }.reduce(_ unionAll _)
+      }
+      val extractedTagged = extracted.select(col("host"),
+        when(!col("hit"), lit("fetchMissed"))
+          .when(col("is_err"), lit("errorDropped"))
+          .otherwise(lit("extractedOk")).as("__stage"))
+      val metricsDelta = gateTagged
         .unionAll(tag(sched, "scheduled"))
-        .unionAll(tag(extracted.filter(!col("hit")), "fetchMissed"))
-        .unionAll(tag(extracted.filter(col("is_err")), "errorDropped"))
-        .unionAll(tag(extracted.filter(col("hit") && !col("is_err")), "extractedOk"))
+        .unionAll(extractedTagged)
         .groupBy("host").pivot("__stage", stages).count()
         .select(
           lit(round).as("round"), col("host"),
